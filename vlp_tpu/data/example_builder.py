@@ -1,0 +1,248 @@
+"""Host-side example builders producing fixed-shape arrays for the TPU.
+
+Behavioral parity with the reference preprocessors
+(/root/reference/vlp/seq2seq_loader.py:179-472) with one structural change:
+the reference ships a materialised ``max_len x max_len`` attention-mask matrix
+per example (seq2seq_loader.py:291-304); here each example instead carries
+  * ``mode``     — MODE_S2S or MODE_BI (scalar),
+  * ``text_end`` — one past the last real token (scalar),
+  * ``vis_keep`` — float[len_vis] region-keep vector (region masking),
+and the mask is reconstructed on device (vlp_tpu/ops/masks.py) or inside the
+fused attention kernel.  This removes an O(L^2) long tensor per example from
+the host pipeline and from HBM.
+
+Sequence layout (both builders):
+    pos 0            [CLS]
+    pos 1..100       region features  (token id [UNK], embeddings spliced)
+    pos 101          [SEP]
+    pos 102..        caption tokens, then a final [SEP], then [PAD] to seq_len
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from vlp_tpu.config import MODE_BI, MODE_S2S, VLPConfig
+
+# task_idx values used to select the relax-projection head
+# (seq2seq_loader.py:202-205)
+TASK_IDX_BI = 0
+TASK_IDX_S2S = 3
+
+
+def truncate_tail_or_head(tokens: List[str], max_len: int, rng: np.random.Generator,
+                          always_tail: bool = False) -> List[str]:
+    """Truncate to max_len, dropping head or tail with p=0.5 each step
+    (seq2seq_loader.py:24-59 restricted to the b-segment path VLP uses)."""
+    tokens = list(tokens)
+    while len(tokens) > max_len:
+        if always_tail or rng.random() >= 0.5:
+            tokens.pop()
+        else:
+            del tokens[0]
+    return tokens
+
+
+def featurize_regions(bbox: np.ndarray, cls_probs: np.ndarray) -> np.ndarray:
+    """Geometry + class-probability featurization -> float32[N, 1607].
+
+    Matches seq2seq_loader.py:338-351: normalise coords by max extent, insert
+    clamped relative area in place of column 4, keep confidence column 5,
+    parameter-free layer_norm over the 6 geometry dims and the 1601 class
+    probs independently, then concatenate.
+    """
+    bbox = np.asarray(bbox, dtype=np.float32).copy()
+    cls_probs = np.asarray(cls_probs, dtype=np.float32)
+    w_est = bbox[:, [0, 2]].max() + 1e-5
+    h_est = bbox[:, [1, 3]].max() + 1e-5
+    bbox[:, [0, 2]] /= w_est
+    bbox[:, [1, 3]] /= h_est
+    rel_area = np.clip((bbox[:, 3] - bbox[:, 1]) * (bbox[:, 2] - bbox[:, 0]), 0, None)
+    geom = np.concatenate(
+        [bbox[:, :4], rel_area[:, None], bbox[:, 5:6]], axis=-1)
+
+    def _ln(x: np.ndarray) -> np.ndarray:
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-5)
+
+    return np.concatenate([_ln(geom), _ln(cls_probs)], axis=-1).astype(np.float32)
+
+
+@dataclasses.dataclass
+class SpecialIds:
+    pad: int = 0
+    unk: int = 100
+    cls: int = 101
+    sep: int = 102
+    mask: int = 103
+
+    @classmethod
+    def from_vocab(cls, vocab: Dict[str, int]) -> "SpecialIds":
+        return cls(pad=vocab["[PAD]"], unk=vocab["[UNK]"], cls=vocab["[CLS]"],
+                   sep=vocab["[SEP]"], mask=vocab["[MASK]"])
+
+
+class TrainExampleBuilder:
+    """Training-time example builder (Preprocess4Seq2seq parity).
+
+    ``__call__`` takes already-tokenized caption tokens + region features and
+    emits a dict of fixed-shape numpy arrays.
+    """
+
+    def __init__(self, config: VLPConfig, vocab: Dict[str, int], *,
+                 mode: str = "s2s", mask_prob: float = 0.15,
+                 vis_mask_prob: float = 0.0, new_segment_ids: bool = True,
+                 always_truncate_tail: bool = False,
+                 load_vqa_ann: bool = False):
+        assert mode in ("s2s", "bi")
+        self.cfg = config
+        self.vocab = vocab
+        self.vocab_words = list(vocab.keys())
+        self.mode = mode
+        self.mode_id = MODE_S2S if mode == "s2s" else MODE_BI
+        self.task_idx = TASK_IDX_S2S if mode == "s2s" else TASK_IDX_BI
+        self.mask_prob = mask_prob
+        self.vis_mask_prob = vis_mask_prob
+        self.num_vis_masked = int(config.len_vis_input * vis_mask_prob)
+        self.new_segment_ids = new_segment_ids
+        self.always_truncate_tail = always_truncate_tail
+        self.load_vqa_ann = load_vqa_ann
+        self.sp = SpecialIds.from_vocab(vocab) if "[CLS]" in vocab else SpecialIds()
+
+    def __call__(self, tokens_b: Sequence[str], vis_feats: np.ndarray,
+                 vis_pe: np.ndarray, rng: np.random.Generator,
+                 ans_scores: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        sp = self.sp
+        nv = cfg.len_vis_input
+        prefix = cfg.prefix_len
+        L = cfg.seq_len
+
+        tokens_b = truncate_tail_or_head(
+            list(tokens_b), cfg.max_len_b, rng, self.always_truncate_tail)
+        nb = len(tokens_b)
+
+        # token stream: [CLS] [UNK]*nv [SEP] b... [SEP]
+        ids = np.full(L, sp.pad, dtype=np.int32)
+        ids[0] = sp.cls
+        ids[1:nv + 1] = sp.unk
+        ids[nv + 1] = sp.sep
+        b_ids = [self.vocab[t] for t in tokens_b] if tokens_b and isinstance(
+            tokens_b[0], str) else list(tokens_b)
+        ids[prefix:prefix + nb] = b_ids
+        ids[prefix + nb] = sp.sep
+        text_end = prefix + nb + 1
+
+        seg = np.zeros(L, dtype=np.int32)
+        if self.new_segment_ids:
+            a_seg, b_seg = (4, 5) if self.mode == "s2s" else (0, 1)
+        else:
+            a_seg, b_seg = 0, 1
+        seg[:prefix] = a_seg
+        seg[prefix:text_end] = b_seg  # padding stays 0 (reference pads seg with 0)
+
+        # --- masked-LM corruption over caption tokens + final [SEP] ---
+        n_pred = min(cfg.max_pred, max(1, int(round(nb * self.mask_prob))))
+        cand = np.arange(prefix, text_end)
+        rng.shuffle(cand)
+        masked_pos_list = cand[:n_pred]
+        masked_pos = np.zeros(cfg.max_pred, dtype=np.int32)
+        masked_ids = np.zeros(cfg.max_pred, dtype=np.int32)
+        masked_weights = np.zeros(cfg.max_pred, dtype=np.float32)
+        for j, pos in enumerate(masked_pos_list):
+            masked_pos[j] = pos
+            masked_ids[j] = ids[pos]
+            masked_weights[j] = 1.0
+            r = rng.random()
+            if r < 0.8:
+                ids[pos] = sp.mask
+            elif rng.random() < 0.5:
+                ids[pos] = self.vocab[self.vocab_words[
+                    rng.integers(0, len(self.vocab_words))]]
+            # else: keep original
+
+        # --- region masking (Selfie-like pretext) ---
+        vis_keep = np.ones(nv, dtype=np.float32)
+        vis_masked_pos = np.zeros(max(self.num_vis_masked, 1), dtype=np.int32)
+        if self.num_vis_masked > 0:
+            chosen = rng.choice(nv, self.num_vis_masked, replace=False)
+            vis_keep[chosen] = 0.0
+            vis_masked_pos[:self.num_vis_masked] = chosen + 1  # +1 for [CLS] slot
+
+        out = dict(
+            input_ids=ids,
+            segment_ids=seg,
+            mode=np.int32(self.mode_id),
+            text_end=np.int32(text_end),
+            vis_keep=vis_keep,
+            vis_masked_pos=vis_masked_pos,
+            masked_pos=masked_pos,
+            masked_ids=masked_ids,
+            masked_weights=masked_weights,
+            task_idx=np.int32(self.task_idx),
+            vis_feats=np.asarray(vis_feats, dtype=np.float32),
+            vis_pe=np.asarray(vis_pe, dtype=np.float32),
+        )
+        if self.load_vqa_ann:
+            out["ans_scores"] = (
+                np.zeros(self.cfg.num_answers, dtype=np.float32)
+                if ans_scores is None else np.asarray(ans_scores, np.float32))
+        return out
+
+
+class DecodeExampleBuilder:
+    """Inference-time prompt builder (Preprocess4Seq2seqDecoder parity).
+
+    Emits the [CLS] regions [SEP] prompt plus segment/position streams for the
+    full generation window.  ``max_a_len`` is pinned to ``len_vis_input`` so
+    the reference's position-id gap logic (seq2seq_loader.py:411-417)
+    degenerates to a plain arange.
+    """
+
+    def __init__(self, config: VLPConfig, vocab: Dict[str, int], *,
+                 new_segment_ids: bool = True, max_tgt_length: int = 20):
+        self.cfg = config
+        self.sp = SpecialIds.from_vocab(vocab) if "[CLS]" in vocab else SpecialIds()
+        self.new_segment_ids = new_segment_ids
+        self.max_tgt_length = max_tgt_length
+
+    def __call__(self, vis_feats: np.ndarray, vis_pe: np.ndarray) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        sp = self.sp
+        nv = cfg.len_vis_input
+        prefix = cfg.prefix_len
+        L = cfg.seq_len
+
+        ids = np.full(prefix, sp.pad, dtype=np.int32)
+        ids[0] = sp.cls
+        ids[1:nv + 1] = sp.unk
+        ids[nv + 1] = sp.sep
+
+        seg = np.zeros(L, dtype=np.int32)
+        a_seg, b_seg = (4, 5) if self.new_segment_ids else (0, 1)
+        seg[:prefix] = a_seg
+        seg[prefix:] = b_seg
+
+        pos = np.arange(L, dtype=np.int32)
+
+        return dict(
+            input_ids=ids,
+            segment_ids=seg,
+            position_ids=pos,
+            mode=np.int32(MODE_S2S),
+            text_end=np.int32(prefix + self.max_tgt_length),
+            task_idx=np.int32(TASK_IDX_S2S),
+            vis_feats=np.asarray(vis_feats, dtype=np.float32),
+            vis_pe=np.asarray(vis_pe, dtype=np.float32),
+        )
+
+
+def collate(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack a list of example dicts into a batch dict
+    (loader_utils.py:17-24 equivalent for dict-of-arrays)."""
+    keys = examples[0].keys()
+    return {k: np.stack([e[k] for e in examples]) for k in keys}

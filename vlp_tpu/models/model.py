@@ -1,0 +1,449 @@
+"""The unified VLP transformer, TPU-native (Flax/JAX).
+
+Re-implements the capabilities of the reference model stack
+(/root/reference/pytorch_pretrained_bert/modeling.py):
+  * multimodal embeddings with the 100-region splice   (modeling.py:195-241)
+  * 12-layer post-LN BERT encoder                      (modeling.py:244-402)
+  * pooler                                             (modeling.py:405-417)
+  * tied MLM head with relax-projection task select    (modeling.py:420-482)
+  * region-feature / geometry projections              (modeling.py:1002-1018)
+  * pretraining losses: masked-LM (+label smoothing, drop-worst), Selfie-like
+    region pretext, VQA2 BCE                           (modeling.py:1033-1143)
+  * incremental (KV-cached) encoder for generation     (modeling.py:268-277,
+    375-402) — here a preallocated cache updated by dynamic_update_slice
+    instead of ragged python lists.
+
+TPU-first design notes:
+  * activations in bfloat16 (cfg.dtype), parameters/optimizer fp32, layer norm
+    and softmax in fp32;
+  * attention runs the fused Pallas kernel (vlp_tpu/ops/attention.py) on TPU,
+    with the structural mask computed from metadata — never a host-built
+    B x L x L tensor;
+  * everything is shape-static and jit-compatible; the region splice is a
+    concatenation, not an in-place write.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vlp_tpu.config import VLPConfig
+from vlp_tpu.ops import attention as attn_ops
+from vlp_tpu.ops import masks as mask_ops
+
+Array = jnp.ndarray
+
+_dense_init = nn.initializers.normal(stddev=0.02)
+_embed_init = nn.initializers.normal(stddev=0.02)
+
+
+def gelu_exact(x: Array) -> Array:
+    """erf-based gelu (modeling.py:62-67)."""
+    return (x * 0.5 * (1.0 + jax.lax.erf(x.astype(jnp.float32) / math.sqrt(2.0)))
+            ).astype(x.dtype)
+
+
+ACT = {"gelu": gelu_exact, "relu": nn.relu,
+       "swish": lambda x: x * nn.sigmoid(x)}
+
+
+def _layer_norm(cfg: VLPConfig, name: str) -> nn.LayerNorm:
+    # fp32 layer norm regardless of activation dtype (eps matches reference 1e-5)
+    return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                        param_dtype=jnp.float32, name=name)
+
+
+def _dense(features: int, cfg: VLPConfig, name: str) -> nn.Dense:
+    return nn.Dense(features, dtype=jnp.dtype(cfg.dtype),
+                    param_dtype=jnp.float32, kernel_init=_dense_init,
+                    name=name)
+
+
+class Embeddings(nn.Module):
+    """Word + position + type embeddings with the region splice
+    (modeling.py:217-241)."""
+    cfg: VLPConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.word_embeddings = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, embedding_init=_embed_init,
+            dtype=jnp.dtype(cfg.dtype), param_dtype=jnp.float32,
+            name="word_embeddings")
+        self.position_embeddings = nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size,
+            embedding_init=_embed_init, dtype=jnp.dtype(cfg.dtype),
+            param_dtype=jnp.float32, name="position_embeddings")
+        self.token_type_embeddings = nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_size, embedding_init=_embed_init,
+            dtype=jnp.dtype(cfg.dtype), param_dtype=jnp.float32,
+            name="token_type_embeddings")
+        self.ln = _layer_norm(self.cfg, "LayerNorm")
+        self.dropout = nn.Dropout(self.cfg.hidden_dropout_prob)
+
+    def __call__(self, input_ids: Array, segment_ids: Array,
+                 position_ids: Array, vis_feats: Optional[Array],
+                 vis_pe: Optional[Array], deterministic: bool) -> Array:
+        cfg = self.cfg
+        words = self.word_embeddings(input_ids)
+        pos = self.position_embeddings(position_ids)
+        if vis_feats is not None:
+            nv = cfg.len_vis_input
+            # splice projected region features / geometry into slots 1..nv
+            words = jnp.concatenate(
+                [words[:, :1], vis_feats.astype(words.dtype),
+                 words[:, nv + 1:]], axis=1)
+            pos = jnp.concatenate(
+                [pos[:, :1], vis_pe.astype(pos.dtype), pos[:, nv + 1:]],
+                axis=1)
+        types = self.token_type_embeddings(segment_ids)
+        x = words + pos + types
+        x = self.ln(x).astype(jnp.dtype(cfg.dtype))
+        return self.dropout(x, deterministic=deterministic)
+
+
+class TransformerLayer(nn.Module):
+    """Post-LN BERT block (modeling.py:360-372)."""
+    cfg: VLPConfig
+
+    def setup(self):
+        cfg = self.cfg
+        H = cfg.hidden_size
+        self.q_proj = _dense(H, cfg, "q_proj")
+        self.k_proj = _dense(H, cfg, "k_proj")
+        self.v_proj = _dense(H, cfg, "v_proj")
+        self.out_proj = _dense(H, cfg, "out_proj")
+        self.attn_ln = _layer_norm(cfg, "attn_ln")
+        self.ffn_in = _dense(cfg.intermediate_size, cfg, "ffn_in")
+        self.ffn_out = _dense(H, cfg, "ffn_out")
+        self.ffn_ln = _layer_norm(cfg, "ffn_ln")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.act = ACT[cfg.hidden_act]
+
+    def _heads(self, x: Array) -> Array:
+        B, L, _ = x.shape
+        cfg = self.cfg
+        return x.reshape(B, L, cfg.num_attention_heads, cfg.head_dim
+                         ).transpose(0, 2, 1, 3)  # [B,H,L,D]
+
+    def _merge(self, x: Array) -> Array:
+        B, H, L, D = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(B, L, H * D)
+
+    def _post_attention(self, ctx: Array, residual: Array,
+                        deterministic: bool) -> Array:
+        h = self.out_proj(ctx)
+        h = self.dropout(h, deterministic=deterministic)
+        h = self.attn_ln(h + residual).astype(ctx.dtype)
+        f = self.ffn_out(self.act(self.ffn_in(h)))
+        f = self.dropout(f, deterministic=deterministic)
+        return self.ffn_ln(f + h).astype(ctx.dtype)
+
+    def __call__(self, x: Array, mode: Array, text_end: Array,
+                 colkeep: Array, bias: Optional[Array],
+                 deterministic: bool) -> Array:
+        """Full-sequence attention (training / single-shot encode).
+
+        ``bias`` (additive [B,1,L,L]) is used by the XLA path; the Pallas path
+        rebuilds the mask from metadata in-register.
+        """
+        cfg = self.cfg
+        q = self._heads(self.q_proj(x))
+        k = self._heads(self.k_proj(x))
+        v = self._heads(self.v_proj(x))
+        rate = cfg.attention_probs_dropout_prob if not deterministic else 0.0
+        if cfg.use_pallas_attention:
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (x.shape[0],), 0, 2 ** 31 - 1)
+            ctx = attn_ops.attention_pallas(
+                q, k, v, mode, text_end, colkeep, prefix=cfg.prefix_len,
+                dropout_rate=rate, dropout_seed=seed)
+        else:
+            rng = self.make_rng("dropout") if rate > 0.0 else None
+            ctx = attn_ops.attention_xla(q, k, v, bias, dropout_rate=rate,
+                                         dropout_rng=rng)
+        return self._post_attention(self._merge(ctx), x, deterministic)
+
+    def incremental(self, x: Array, cache_k: Array, cache_v: Array,
+                    cache_len: Array) -> Tuple[Array, Array, Array]:
+        """KV-cached step: ``x`` is [B, S, H] new tokens at absolute positions
+        ``cache_len .. cache_len+S-1``.  All S tokens' K/V are written into the
+        cache (the trailing [MASK] probe slot is overwritten next step).
+        Returns (layer_out, new_cache_k, new_cache_v)."""
+        cfg = self.cfg
+        B, S, _ = x.shape
+        q = self._heads(self.q_proj(x))   # [B,Hh,S,D]
+        k = self._heads(self.k_proj(x))
+        v = self._heads(self.v_proj(x))
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, 0, cache_len, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, 0, cache_len, 0))
+        L = cache_k.shape[2]
+        # decode-time s2s visibility (seq2seq_loader.py:423-429): the
+        # [CLS] regions [SEP] prefix is bidirectionally visible to every
+        # query; generated tokens are causally visible (j <= cache_len + s).
+        jpos = jnp.arange(L)[None, :]
+        spos = cache_len + jnp.arange(S)[:, None]
+        visible = (jpos < cfg.prefix_len) | (jpos <= spos)
+        bias = jnp.where(visible, 0.0, mask_ops.NEG_INF)[None, None]
+        scores = jnp.einsum("bhsd,bhjd->bhsj", q, cache_k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(cfg.head_dim) + bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        ctx = jnp.einsum("bhsj,bhjd->bhsd", probs.astype(x.dtype), cache_v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = self._post_attention(self._merge(ctx), x, deterministic=True)
+        return out, cache_k, cache_v
+
+
+class MLMHead(nn.Module):
+    """Transform + relax-projection select + tied decode
+    (modeling.py:420-482)."""
+    cfg: VLPConfig
+
+    def setup(self):
+        cfg = self.cfg
+        r = max(cfg.relax_projection, 1)
+        self.transform_dense = _dense(cfg.hidden_size * r, cfg,
+                                      "transform_dense")
+        self.transform_ln = _layer_norm(cfg, "transform_ln")
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (cfg.vocab_size,), jnp.float32)
+        self.act = ACT[cfg.hidden_act]
+
+    def __call__(self, hidden: Array, task_idx: Array,
+                 word_embedding: Array) -> Array:
+        """hidden: [B, P, H]; task_idx: int32[B]; returns fp32 logits [B,P,V]."""
+        cfg = self.cfg
+        r = max(cfg.relax_projection, 1)
+        h = self.act(self.transform_dense(hidden))
+        h = self.transform_ln(h).astype(hidden.dtype)  # LN over r*H dims
+        if cfg.relax_projection > 1:
+            B, P, _ = h.shape
+            h = h.reshape(B, P, r, cfg.hidden_size)
+            h = jnp.take_along_axis(
+                h, task_idx[:, None, None, None].astype(jnp.int32), axis=2
+            )[:, :, 0, :]
+        logits = jnp.einsum("bph,vh->bpv", h.astype(jnp.float32),
+                            word_embedding.astype(jnp.float32))
+        return logits + self.bias[None, None, :]
+
+
+class VLPModel(nn.Module):
+    """Unified VLP model: backbone + all heads.
+
+    Methods:
+      encode           — full-sequence forward -> (seq_out, pooled, vis proj)
+      pretrain_losses  — masked-LM / pretext / VQA loss tuple (training)
+      vqa_inference    — argmax answer ids
+      prefill / decode_step — incremental generation primitives
+    """
+    cfg: VLPConfig
+    with_vqa: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        self.embeddings = Embeddings(cfg, name="embeddings")
+        self.layers = [TransformerLayer(cfg, name=f"layer_{i}")
+                       for i in range(cfg.num_hidden_layers)]
+        self.pooler_dense = _dense(cfg.hidden_size, cfg, "pooler_dense")
+        # region-feature projection (modeling.py:1003-1014)
+        self.vis_fc1 = _dense(cfg.vis_feat_dim, cfg, "vis_fc1")
+        self.vis_fc2 = _dense(cfg.hidden_size, cfg, "vis_fc2")
+        # geometry projection (modeling.py:1016-1018)
+        self.vis_pe_fc = _dense(cfg.hidden_size, cfg, "vis_pe_fc")
+        self.vis_dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.mlm = MLMHead(cfg, name="mlm")
+        if self.with_vqa:
+            self.ans_fc1 = _dense(cfg.hidden_size * 2, cfg, "ans_fc1")
+            self.ans_fc2 = _dense(cfg.num_answers, cfg, "ans_fc2")
+
+    # ------------------------------------------------------------------
+    def project_regions(self, vis_feats: Array, vis_pe: Array,
+                        deterministic: bool) -> Tuple[Array, Array]:
+        cfg = self.cfg
+        f = vis_feats.astype(jnp.dtype(cfg.dtype))
+        f = nn.relu(self.vis_fc2(nn.relu(self.vis_fc1(f))))
+        f = self.vis_dropout(f, deterministic=deterministic)
+        p = nn.relu(self.vis_pe_fc(vis_pe.astype(jnp.dtype(cfg.dtype))))
+        p = self.vis_dropout(p, deterministic=deterministic)
+        return f, p
+
+    def pooled(self, seq_out: Array) -> Array:
+        return jnp.tanh(self.pooler_dense(seq_out[:, 0]))
+
+    def encode(self, input_ids: Array, segment_ids: Array, mode: Array,
+               text_end: Array, vis_feats: Array, vis_pe: Array,
+               vis_keep: Optional[Array] = None,
+               position_ids: Optional[Array] = None,
+               deterministic: bool = True,
+               return_projections: bool = False):
+        cfg = self.cfg
+        B, L = input_ids.shape
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32),
+                                            (B, L))
+        if vis_keep is None:
+            vis_keep = jnp.ones((B, cfg.len_vis_input), jnp.float32)
+
+        vf, vp = self.project_regions(vis_feats, vis_pe, deterministic)
+        # zero out masked regions AFTER projection (modeling.py:1050-1057);
+        # the pretext loss uses the pre-zeroing projections.
+        keep = vis_keep[..., None]
+        vf_in = vf * keep.astype(vf.dtype)
+        vp_in = vp * keep.astype(vp.dtype)
+
+        x = self.embeddings(input_ids, segment_ids, position_ids, vf_in,
+                            vp_in, deterministic)
+        colkeep = attn_ops.colkeep_from_vis_keep(vis_keep, L)
+        bias = None
+        if not cfg.use_pallas_attention:
+            bias = mask_ops.attention_bias(mode, text_end, vis_keep,
+                                           cfg.prefix_len, L)
+        for layer in self.layers:
+            x = layer(x, mode, text_end, colkeep, bias, deterministic)
+        if return_projections:
+            return x, self.pooled(x), vf, vp
+        return x, self.pooled(x)
+
+    # ------------------------------------------------------------------
+    def pretrain_losses(self, batch: Dict[str, Array], *,
+                        deterministic: bool = False,
+                        drop_worst_ratio: Array | float = 0.0,
+                        mask_image_regions: bool = False,
+                        task: str = "img2txt") -> Dict[str, Array]:
+        """Training forward (BertForPreTrainingLossMask.forward parity,
+        modeling.py:1033-1143)."""
+        cfg = self.cfg
+        seq_out, pooled, vf, vp = self.encode(
+            batch["input_ids"], batch["segment_ids"], batch["mode"],
+            batch["text_end"], batch["vis_feats"], batch["vis_pe"],
+            vis_keep=batch.get("vis_keep"), deterministic=deterministic,
+            return_projections=True)
+
+        out: Dict[str, Array] = {}
+        word_emb = self.embeddings.word_embeddings.embedding
+
+        if task == "vqa2":
+            vqa_embed = seq_out[:, 0] * seq_out[:, cfg.len_vis_input + 1]
+            logits = self.ans_fc2(nn.relu(self.ans_fc1(vqa_embed)))
+            logits = logits.astype(jnp.float32)
+            labels = batch["ans_scores"].astype(jnp.float32)
+            bce = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+                jnp.exp(-jnp.abs(logits)))
+            # BCEWithLogitsLoss (mean over all) * num_answers == batch-mean of
+            # per-example sums (modeling.py:1140)
+            out["vqa2_loss"] = jnp.mean(jnp.sum(bce, axis=-1))
+            out["masked_lm_loss"] = jnp.zeros((), jnp.float32)
+        else:
+            hidden_masked = jnp.take_along_axis(
+                seq_out, batch["masked_pos"][:, :, None].astype(jnp.int32),
+                axis=1)
+            logits = self.mlm(hidden_masked, batch["task_idx"], word_emb)
+            from vlp_tpu import losses as losses_lib
+            per_pos = losses_lib.mlm_position_loss(
+                logits, batch["masked_ids"], cfg.label_smoothing,
+                cfg.vocab_size)
+            out["masked_lm_loss"] = losses_lib.mask_and_normalize_loss(
+                per_pos, batch["masked_weights"], drop_worst_ratio)
+            out["vqa2_loss"] = jnp.zeros((), jnp.float32)
+
+        if mask_image_regions:
+            pos = (batch["vis_masked_pos"] - 1).astype(jnp.int32)  # [B,M]
+            mf = jnp.take_along_axis(vf, pos[:, :, None], axis=1)
+            me = jnp.take_along_axis(vp, pos[:, :, None], axis=1)
+            me = me + pooled[:, None, :].astype(me.dtype)
+            sim = jnp.einsum("bmh,bnh->bmn", me.astype(jnp.float32),
+                             mf.astype(jnp.float32))
+            logp = jax.nn.log_softmax(sim, axis=-1)
+            diag = jnp.diagonal(logp, axis1=1, axis2=2)
+            out["pretext_loss"] = -jnp.mean(jnp.mean(diag, axis=-1))
+        else:
+            out["pretext_loss"] = jnp.zeros((), jnp.float32)
+
+        out["loss"] = (out["masked_lm_loss"] + out["pretext_loss"]
+                       + out["vqa2_loss"])
+        return out
+
+    # ------------------------------------------------------------------
+    def vqa_inference(self, batch: Dict[str, Array]) -> Array:
+        """Answer-id argmax over answers 1.. (modeling.py:1039-1047)."""
+        cfg = self.cfg
+        seq_out, _ = self.encode(
+            batch["input_ids"], batch["segment_ids"], batch["mode"],
+            batch["text_end"], batch["vis_feats"], batch["vis_pe"],
+            deterministic=True)
+        vqa_embed = seq_out[:, 0] * seq_out[:, cfg.len_vis_input + 1]
+        logits = self.ans_fc2(nn.relu(self.ans_fc1(vqa_embed)))
+        return jnp.argmax(logits[:, 1:], axis=-1) + 1
+
+    # ------------------------------------------------------------------
+    # Incremental generation primitives (BertForSeq2SeqDecoder parity).
+    # ------------------------------------------------------------------
+    def init_cache(self, batch_size: int) -> Tuple[Array, Array]:
+        cfg = self.cfg
+        shape = (cfg.num_hidden_layers, batch_size, cfg.num_attention_heads,
+                 cfg.seq_len, cfg.head_dim)
+        dt = jnp.dtype(cfg.dtype)
+        return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
+
+    def _incremental_stack(self, x: Array, cache_k: Array, cache_v: Array,
+                           cache_len) -> Tuple[Array, Array, Array]:
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x, ck, cv = layer.incremental(x, cache_k[i], cache_v[i], cache_len)
+            new_k.append(ck)
+            new_v.append(cv)
+        return x, jnp.stack(new_k), jnp.stack(new_v)
+
+    def prefill(self, input_ids: Array, segment_ids: Array,
+                position_ids: Array, vis_feats: Array, vis_pe: Array,
+                mask_id: int) -> Tuple[Array, Array, Array]:
+        """Encode the [CLS] regions [SEP] prompt plus the first [MASK] probe.
+
+        Returns (logits_for_first_token [B,V via mlm caller], cache_k, cache_v)
+        — actually returns (hidden_of_probe [B,1,H], cache_k, cache_v).
+        """
+        cfg = self.cfg
+        B = input_ids.shape[0]
+        prefix = cfg.prefix_len
+        probe = jnp.full((B, 1), mask_id, dtype=input_ids.dtype)
+        ids = jnp.concatenate([input_ids[:, :prefix], probe], axis=1)
+        seg = segment_ids[:, :prefix + 1]
+        pos = position_ids[:, :prefix + 1]
+        vf, vp = self.project_regions(vis_feats, vis_pe, deterministic=True)
+        x = self.embeddings(ids, seg, pos, vf, vp, deterministic=True)
+        cache_k, cache_v = self.init_cache(B)
+        x, cache_k, cache_v = self._incremental_stack(x, cache_k, cache_v, 0)
+        return x[:, -1:, :], cache_k, cache_v
+
+    def decode_step(self, prev_ids: Array, segment_ids: Array,
+                    position_ids: Array, cache_k: Array, cache_v: Array,
+                    cache_len, mask_id: int) -> Tuple[Array, Array, Array]:
+        """One generation step: feed [prev_token, MASK probe] at absolute
+        positions (cache_len, cache_len+1); returns probe hidden + new cache.
+
+        prev_ids: int[B, 1]; segment_ids/position_ids: int[B, L] full streams.
+        """
+        B = prev_ids.shape[0]
+        probe = jnp.full((B, 1), mask_id, dtype=prev_ids.dtype)
+        ids = jnp.concatenate([prev_ids, probe], axis=1)
+        seg = jax.lax.dynamic_slice_in_dim(segment_ids, cache_len, 2, axis=1)
+        pos = jax.lax.dynamic_slice_in_dim(position_ids, cache_len, 2, axis=1)
+        x = self.embeddings(ids, seg, pos, None, None, deterministic=True)
+        x, cache_k, cache_v = self._incremental_stack(x, cache_k, cache_v,
+                                                      cache_len)
+        return x[:, -1:, :], cache_k, cache_v
+
+    def lm_logits(self, hidden: Array, task_idx: Array) -> Array:
+        """MLM logits for generation (fp32, [B, S, V])."""
+        word_emb = self.embeddings.word_embeddings.embedding
+        return self.mlm(hidden, task_idx, word_emb)

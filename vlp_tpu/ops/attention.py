@@ -1,0 +1,261 @@
+"""Multi-head attention for the VLP unified transformer.
+
+Two interchangeable implementations (numerics-diff tested against each other):
+
+  * ``attention_xla``   — plain jnp einsum path (reference semantics of
+                          modeling.py:244-303 with the additive -10000 mask of
+                          modeling.py:807-833).  Used on CPU and as autodiff
+                          ground truth.
+  * ``attention_pallas``— fused TPU kernel: builds the structural s2s/bi mask
+                          in-register from (mode, text_end, colkeep) metadata,
+                          computes QK^T -> masked fp32 softmax -> PV in VMEM,
+                          applies attention-prob dropout with the on-chip PRNG,
+                          and exposes a custom VJP whose backward kernel
+                          recomputes probabilities (flash-style, no L x L
+                          residuals in HBM).
+
+Shapes: q, k, v are [B, H, L, D] (L = padded seq len, D = head dim).
+The mask metadata replaces the reference's host-built B x L x L matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vlp_tpu.config import MODE_S2S
+from vlp_tpu.ops.masks import NEG_INF
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path
+# ---------------------------------------------------------------------------
+
+def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  bias: jnp.ndarray, *, dropout_rate: float = 0.0,
+                  dropout_rng=None) -> jnp.ndarray:
+    """bias: additive [B, 1, L, L] (0 / -10000)."""
+    d = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(d) + bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+def _mask_bias(mode, text_end, colkeep_row, prefix: int, L: int):
+    """Build the additive [L, L] mask for one example, in-register."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    te = text_end
+    bi_vis = j < te
+    causal = (j >= prefix) & (j <= i) & (i < te)
+    s2s_vis = (j < prefix) | causal
+    # scalar-predicate select over i1 vectors doesn't legalize in Mosaic;
+    # express the mode switch as boolean algebra instead.
+    is_s2s = mode == MODE_S2S
+    vis = (s2s_vis & is_s2s) | (bi_vis & jnp.logical_not(is_s2s))
+    vis = vis & (colkeep_row[None, :] > 0.5)
+    return jnp.where(vis, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _softmax_probs(scores_f32):
+    m = jnp.max(scores_f32, axis=-1, keepdims=True)
+    e = jnp.exp(scores_f32 - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _dropout_keep_scale(shape, rate: float):
+    """Draw a keep/scale multiplier from the already-seeded on-chip PRNG."""
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    threshold = np.uint32(min(int(rate * float(2 ** 32)), 2 ** 32 - 1))
+    keep = bits >= threshold
+    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
+
+
+def _fwd_kernel(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref, colkeep_ref,
+                out_ref, *, prefix: int, drop_rate: float, scale: float):
+    H, L = q_ref.shape[1], q_ref.shape[2]
+    b = pl.program_id(0)
+    bias = _mask_bias(mode_ref[b], te_ref[b], colkeep_ref[b, :], prefix, L)
+    if drop_rate > 0.0:
+        pltpu.prng_seed(seed_ref[b])
+    for h in range(H):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
+        p = _softmax_probs(s)
+        if drop_rate > 0.0:
+            p = p * _dropout_keep_scale((L, L), drop_rate)
+        out_ref[0, h] = jnp.dot(
+            p.astype(q_ref.dtype), v,
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _bwd_kernel(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref, colkeep_ref,
+                do_ref, dq_ref, dk_ref, dv_ref, *, prefix: int,
+                drop_rate: float, scale: float):
+    H, L = q_ref.shape[1], q_ref.shape[2]
+    b = pl.program_id(0)
+    bias = _mask_bias(mode_ref[b], te_ref[b], colkeep_ref[b, :], prefix, L)
+    if drop_rate > 0.0:
+        pltpu.prng_seed(seed_ref[b])  # same seed => same per-head draws as fwd
+    for h in range(H):
+        q = q_ref[0, h].astype(jnp.float32)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        do = do_ref[0, h].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
+        p = _softmax_probs(s)
+        if drop_rate > 0.0:
+            keep = _dropout_keep_scale((L, L), drop_rate)
+            pd = p * keep
+        else:
+            keep = None
+            pd = p
+        # dv = pd^T @ do
+        dv = jax.lax.dot_general(
+            pd, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dpd = do @ v^T
+        dpd = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = dpd * keep if keep is not None else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+
+
+def _interpret() -> bool:
+    # Pallas compiles natively on TPU; elsewhere (CPU tests) run interpreted.
+    return jax.default_backend() != "tpu"
+
+
+def _qkv_spec(H, L, D):
+    # index map receives (grid idx, *scalar_prefetch_refs)
+    return pl.BlockSpec((1, H, L, D), lambda b, *_: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _pallas_fwd(q, k, v, mode, text_end, colkeep, seed, prefix, drop_rate):
+    B, H, L, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    kernel = functools.partial(_fwd_kernel, prefix=prefix,
+                               drop_rate=drop_rate, scale=scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # mode, text_end, seed
+        grid=(B,),
+        in_specs=[
+            _qkv_spec(H, L, D), _qkv_spec(H, L, D), _qkv_spec(H, L, D),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # colkeep: full [B, L]
+        ],
+        out_specs=_qkv_spec(H, L, D),
+    )
+    # scalar-prefetch index maps receive the scalar refs as trailing args;
+    # block index maps above ignore them via *_
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+        interpret=_interpret(),
+    )(mode, text_end, seed, q, k, v, colkeep)
+
+
+def _pallas_bwd_call(q, k, v, mode, text_end, colkeep, seed, do, prefix,
+                     drop_rate):
+    B, H, L, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    kernel = functools.partial(_bwd_kernel, prefix=prefix,
+                               drop_rate=drop_rate, scale=scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            _qkv_spec(H, L, D), _qkv_spec(H, L, D), _qkv_spec(H, L, D),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # colkeep: full [B, L]
+            _qkv_spec(H, L, D),
+        ],
+        out_specs=(_qkv_spec(H, L, D), _qkv_spec(H, L, D), _qkv_spec(H, L, D)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, L, D), q.dtype)),
+        interpret=_interpret(),
+    )(mode, text_end, seed, q, k, v, colkeep, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_attention(static: Tuple[int, float], q, k, v, mode, text_end,
+                     colkeep, seed):
+    prefix, drop_rate = static
+    return _pallas_fwd(q, k, v, mode, text_end, colkeep, seed, prefix,
+                       drop_rate)
+
+
+def _fused_fwd(static, q, k, v, mode, text_end, colkeep, seed):
+    out = _fused_attention(static, q, k, v, mode, text_end, colkeep, seed)
+    return out, (q, k, v, mode, text_end, colkeep, seed)
+
+
+def _fused_bwd(static, res, do):
+    prefix, drop_rate = static
+    q, k, v, mode, text_end, colkeep, seed = res
+    dq, dk, dv = _pallas_bwd_call(q, k, v, mode, text_end, colkeep, seed, do,
+                                  prefix, drop_rate)
+
+    def _f0(x):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return (dq, dk, dv, _f0(mode), _f0(text_end),
+            jnp.zeros_like(colkeep), _f0(seed))
+
+
+_fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+def attention_pallas(q, k, v, mode, text_end, colkeep, *, prefix: int,
+                     dropout_rate: float = 0.0, dropout_seed=None):
+    """Fused attention. q/k/v: [B,H,L,D]; colkeep: float[B,L]; dropout_seed:
+    int32[B] (required when dropout_rate > 0)."""
+    B = q.shape[0]
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((B,), jnp.int32)
+    return _fused_attention((prefix, float(dropout_rate)), q, k, v,
+                            mode.astype(jnp.int32), text_end.astype(jnp.int32),
+                            colkeep, dropout_seed.astype(jnp.int32))
+
+
+def colkeep_from_vis_keep(vis_keep: jnp.ndarray, seq_len: int) -> jnp.ndarray:
+    """Expand float[B, nv] region-keep into float[B, L] column-keep."""
+    B, nv = vis_keep.shape
+    colkeep = jnp.ones((B, seq_len), jnp.float32)
+    return colkeep.at[:, 1:nv + 1].set(vis_keep)

@@ -1,0 +1,124 @@
+"""BertAdam optimizer, TPU-native (optax).
+
+Bit-faithful to the reference optimizer
+(/root/reference/pytorch_pretrained_bert/optimization.py:33-182):
+  * per-parameter gradient clipping to max_grad_norm INSIDE the step
+    (clip scale = max_norm / (||g|| + 1e-6), applied only when ||g|| > max_norm)
+  * Adam moments WITHOUT bias correction
+  * decoupled weight decay added to the update (not the gradient), masked off
+    for biases and LayerNorm parameters (run_img2txt_dist.py:394-401)
+  * lr schedule (warmup_linear/constant/cosine) evaluated from the step count
+    inside the update; the first update uses step=0 (lr==0 under warmup)
+
+State is fp32 regardless of parameter/gradient dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Schedule = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+# --- schedules (optimization.py:33-55); x = step / t_total ------------------
+
+def warmup_linear(x, warmup=0.002):
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.where(x < warmup, x / warmup,
+                     jnp.maximum((x - 1.0) / (warmup - 1.0), 0.0))
+
+
+def warmup_constant(x, warmup=0.002):
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.where(x < warmup, x / warmup, 1.0)
+
+
+def warmup_cosine(x, warmup=0.002):
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.where(x < warmup, x / warmup,
+                     0.5 * (1.0 + jnp.cos(math.pi * x)))
+
+
+SCHEDULES = {
+    "warmup_linear": warmup_linear,
+    "warmup_constant": warmup_constant,
+    "warmup_cosine": warmup_cosine,
+}
+
+
+class BertAdamState(NamedTuple):
+    step: jnp.ndarray     # int32, number of completed updates
+    m: Any                # first moments (fp32)
+    v: Any                # second moments (fp32)
+
+
+def default_weight_decay_mask(params) -> Any:
+    """Decay everything except biases and LayerNorm scales/biases
+    (run_img2txt_dist.py:395: no_decay = bias / LayerNorm.*)."""
+    def _is_decay(path, leaf) -> bool:
+        names = [p.key for p in path if hasattr(p, "key")]
+        # biases (Dense + LayerNorm + MLM output bias) and LayerNorm scales
+        # are exempt; kernels and embedding tables decay.
+        return bool(names) and names[-1] not in ("bias", "scale")
+    return jax.tree_util.tree_map_with_path(_is_decay, params)
+
+
+def bert_adam(lr: float, *, warmup: float = -1.0, t_total: int = -1,
+              schedule: str = "warmup_linear", b1: float = 0.9,
+              b2: float = 0.999, eps: float = 1e-6,
+              weight_decay: float = 0.01, max_grad_norm: float = 1.0,
+              weight_decay_mask: Optional[Any] = None
+              ) -> optax.GradientTransformation:
+    """Build the BertAdam gradient transformation.
+
+    ``weight_decay_mask`` is a pytree of bools (True = apply decay); if None,
+    `default_weight_decay_mask` is computed from the params at init.
+    """
+    sched = SCHEDULES[schedule]
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+        return BertAdamState(step=jnp.zeros((), jnp.int32), m=zeros,
+                             v=jax.tree_util.tree_map(jnp.copy, zeros))
+
+    def update_fn(grads, state, params):
+        assert params is not None, "bert_adam requires params"
+        mask = (weight_decay_mask if weight_decay_mask is not None
+                else default_weight_decay_mask(params))
+
+        def clip(g):
+            g32 = g.astype(jnp.float32)
+            if max_grad_norm <= 0:
+                return g32
+            norm = jnp.sqrt(jnp.sum(g32 * g32))
+            scale = jnp.where(norm > max_grad_norm,
+                              max_grad_norm / (norm + 1e-6), 1.0)
+            return g32 * scale
+
+        grads = jax.tree_util.tree_map(clip, grads)
+        new_m = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.m, grads)
+        new_v = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.v, grads)
+
+        if t_total > 0 and warmup >= 0:
+            lr_t = lr * sched(state.step.astype(jnp.float32) / t_total, warmup)
+        else:
+            lr_t = jnp.asarray(lr, jnp.float32)
+
+        def upd(m, v, p, decay):
+            u = m / (jnp.sqrt(v) + eps)
+            if weight_decay > 0:
+                u = u + jnp.where(decay, weight_decay, 0.0) * p.astype(jnp.float32)
+            return (-lr_t * u).astype(p.dtype)
+
+        updates = jax.tree_util.tree_map(upd, new_m, new_v, params, mask)
+        return updates, BertAdamState(step=state.step + 1, m=new_m, v=new_v)
+
+    return optax.GradientTransformation(init_fn, update_fn)

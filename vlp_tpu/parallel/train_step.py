@@ -1,0 +1,140 @@
+"""Jitted training step over a device mesh.
+
+Replaces the reference's DDP hot loop (/root/reference/vlp/run_img2txt_dist.py
+:453-586): forward + backward + BertAdam update compiled into one XLA program;
+the gradient all-reduce is inserted by XLA from the shardings (data-parallel
+batch, replicated-or-TP params) and rides ICI — there is no explicit NCCL-like
+call.  Gradient accumulation is a ``lax.scan`` over micro-batches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vlp_tpu.config import VLPConfig
+from vlp_tpu.models.model import VLPModel
+from vlp_tpu import optim as optim_lib
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_model(cfg: VLPConfig, task: str = "img2txt") -> VLPModel:
+    return VLPModel(cfg, with_vqa=(task == "vqa2"))
+
+
+def init_params(model: VLPModel, cfg: VLPConfig, rng, task: str = "img2txt"):
+    B = 2
+    batch = dummy_batch(cfg, B, task)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        batch, deterministic=True, drop_worst_ratio=0.0,
+        mask_image_regions=False, task=task,
+        method=VLPModel.pretrain_losses)
+    return variables["params"]
+
+
+def dummy_batch(cfg: VLPConfig, batch_size: int, task: str = "img2txt"
+                ) -> Dict[str, jnp.ndarray]:
+    B, L, nv = batch_size, cfg.seq_len, cfg.len_vis_input
+    b = dict(
+        input_ids=jnp.zeros((B, L), jnp.int32),
+        segment_ids=jnp.zeros((B, L), jnp.int32),
+        mode=jnp.ones((B,), jnp.int32),
+        text_end=jnp.full((B,), cfg.prefix_len + 5, jnp.int32),
+        vis_keep=jnp.ones((B, nv), jnp.float32),
+        vis_masked_pos=jnp.ones((B, max(nv // 4, 1)), jnp.int32),
+        masked_pos=jnp.zeros((B, cfg.max_pred), jnp.int32),
+        masked_ids=jnp.zeros((B, cfg.max_pred), jnp.int32),
+        masked_weights=jnp.zeros((B, cfg.max_pred), jnp.float32),
+        task_idx=jnp.full((B,), 3, jnp.int32),
+        vis_feats=jnp.zeros((B, nv, cfg.vis_feat_dim), jnp.float32),
+        vis_pe=jnp.zeros((B, nv, cfg.vis_pe_dim), jnp.float32),
+    )
+    if task == "vqa2":
+        b["ans_scores"] = jnp.zeros((B, cfg.num_answers), jnp.float32)
+    return b
+
+
+def make_optimizer(cfg: VLPConfig, params, *, lr: float, warmup: float = 0.1,
+                   t_total: int = -1, schedule: str = "warmup_linear",
+                   weight_decay: float = 0.01) -> optax.GradientTransformation:
+    mask = optim_lib.default_weight_decay_mask(params)
+    return optim_lib.bert_adam(
+        lr, warmup=warmup, t_total=t_total, schedule=schedule,
+        weight_decay=weight_decay, weight_decay_mask=mask)
+
+
+def create_train_state(model: VLPModel, cfg: VLPConfig, rng, *, lr: float,
+                       warmup: float = 0.1, t_total: int = -1,
+                       schedule: str = "warmup_linear",
+                       task: str = "img2txt"):
+    params = init_params(model, cfg, rng, task)
+    tx = make_optimizer(cfg, params, lr=lr, warmup=warmup, t_total=t_total,
+                        schedule=schedule)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32)), tx
+
+
+def loss_fn(model: VLPModel, params, batch, dropout_rng, *,
+            drop_worst_ratio, mask_image_regions: bool, task: str):
+    out = model.apply({"params": params}, batch, deterministic=False,
+                      drop_worst_ratio=drop_worst_ratio,
+                      mask_image_regions=mask_image_regions, task=task,
+                      rngs={"dropout": dropout_rng},
+                      method=VLPModel.pretrain_losses)
+    return out["loss"], out
+
+
+def make_train_step(model: VLPModel, tx: optax.GradientTransformation, *,
+                    mask_image_regions: bool = False, task: str = "img2txt",
+                    grad_accum: int = 1):
+    """Returns train_step(state, batch, rng, drop_worst_ratio) -> (state, metrics).
+
+    With grad_accum > 1 the batch's leading dim must be
+    ``grad_accum * micro_batch`` and is scanned in micro-batches (gradients
+    averaged, matching loss/accum normalisation at run_img2txt_dist.py:567-568).
+    """
+
+    def single_grads(params, batch, rng, drop_worst_ratio):
+        (loss, metrics), grads = jax.value_and_grad(
+            functools.partial(loss_fn, model, task=task,
+                              mask_image_regions=mask_image_regions,
+                              drop_worst_ratio=drop_worst_ratio),
+            has_aux=True)(params, batch, rng)
+        return grads, metrics
+
+    def train_step(state: TrainState, batch, rng, drop_worst_ratio):
+        if grad_accum <= 1:
+            grads, metrics = single_grads(state.params, batch, rng,
+                                          drop_worst_ratio)
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, -1) + x.shape[1:]), batch)
+
+            def body(carry, mb):
+                acc = carry
+                rng_i = jax.random.fold_in(rng, acc[1])
+                g, m = single_grads(state.params, mb, rng_i, drop_worst_ratio)
+                return (jax.tree_util.tree_map(jnp.add, acc[0], g),
+                        acc[1] + 1), m
+
+            zero = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, jnp.float32), state.params)
+            (gsum, _), metrics = jax.lax.scan(body, (zero, 0), micro)
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+            metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    return train_step
