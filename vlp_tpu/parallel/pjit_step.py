@@ -1,0 +1,121 @@
+"""GSPMD (jit + sharding) training step over a device mesh.
+
+Data parallelism + optional tensor parallelism via sharding annotations; XLA
+inserts the gradient reductions and TP collectives over ICI.  This is the
+multi-chip analogue of the reference's DDP loop
+(/root/reference/vlp/run_img2txt_dist.py:379-387, 566-586).
+
+Note: the Pallas fused-attention kernel is a single-device kernel; under
+GSPMD tensor parallelism the XLA attention path is used instead (XLA
+partitions the einsums over heads).  Data-parallel-only meshes can keep
+Pallas by running the step under shard_map — see ``make_shard_map_step``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vlp_tpu.config import VLPConfig
+from vlp_tpu.models.model import VLPModel
+from vlp_tpu.parallel import mesh as mesh_lib
+from vlp_tpu.parallel import train_step as ts
+
+
+def state_shardings(state: ts.TrainState, mesh: Mesh,
+                    tensor_parallel: bool = True):
+    p_shard = mesh_lib.param_sharding_tree(state.params, mesh,
+                                           tensor_parallel)
+    opt = state.opt_state
+    m_shard = mesh_lib.param_sharding_tree(opt.m, mesh, tensor_parallel)
+    v_shard = mesh_lib.param_sharding_tree(opt.v, mesh, tensor_parallel)
+    rep = mesh_lib.replicated(mesh)
+    return ts.TrainState(
+        params=p_shard,
+        opt_state=type(opt)(step=rep, m=m_shard, v=v_shard),
+        step=rep)
+
+
+def shard_state(state: ts.TrainState, mesh: Mesh,
+                tensor_parallel: bool = True) -> ts.TrainState:
+    sh = state_shardings(state, mesh, tensor_parallel)
+    return jax.tree_util.tree_map(jax.device_put, state, sh)
+
+
+def shard_batch(batch, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))),
+        batch)
+
+
+def make_pjit_train_step(model: VLPModel, tx: optax.GradientTransformation,
+                         mesh: Mesh, *, tensor_parallel: bool = True,
+                         mask_image_regions: bool = False,
+                         task: str = "img2txt", grad_accum: int = 1):
+    """Jit the full train step with mesh shardings; returns
+    step(state, batch, rng, drop_worst_ratio) -> (state, metrics)."""
+    base = ts.make_train_step(model, tx, mask_image_regions=mask_image_regions,
+                              task=task, grad_accum=grad_accum)
+    rep = mesh_lib.replicated(mesh)
+
+    def wrapped(state, batch, rng, ratio):
+        return base(state, batch, rng, ratio)
+
+    def make(state, batch):
+        st_sh = state_shardings(state, mesh, tensor_parallel)
+        b_sh = jax.tree_util.tree_map(
+            lambda x: NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))),
+            batch)
+        return jax.jit(wrapped, in_shardings=(st_sh, b_sh, rep, rep))
+
+    return make
+
+
+def make_shard_map_step(model: VLPModel, tx: optax.GradientTransformation,
+                        mesh: Mesh, *, mask_image_regions: bool = False,
+                        task: str = "img2txt"):
+    """Data-parallel step via shard_map: params replicated, batch sharded over
+    'data', grads pmean'd explicitly.  Pallas attention runs per-shard, so
+    this path keeps the fused kernel in the multi-chip regime."""
+    from jax.experimental.shard_map import shard_map
+
+    def local_step(state, batch, rng, ratio):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        (loss, metrics), grads = jax.value_and_grad(
+            functools.partial(ts.loss_fn, model, task=task,
+                              mask_image_regions=mask_image_regions,
+                              drop_worst_ratio=ratio),
+            has_aux=True)(state.params, batch, rng)
+        grads = jax.lax.pmean(grads, "data")
+        metrics = jax.lax.pmean(metrics, "data")
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return ts.TrainState(new_params, new_opt, state.step + 1), metrics
+
+    rep = P()
+    data = P("data")
+
+    def batch_specs(batch):
+        return jax.tree_util.tree_map(
+            lambda x: P("data", *([None] * (x.ndim - 1))), batch)
+
+    def make(state, batch):
+        fn = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: rep, state),
+                      batch_specs(batch), rep, rep),
+            out_specs=(jax.tree_util.tree_map(lambda _: rep, state),
+                       jax.tree_util.tree_map(lambda _: rep,
+                                              {"loss": rep, "masked_lm_loss": rep,
+                                               "pretext_loss": rep,
+                                               "vqa2_loss": rep})),
+            check_rep=False)
+        return jax.jit(fn)
+
+    return make
