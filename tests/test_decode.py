@@ -1,0 +1,196 @@
+"""Decoder correctness: KV-cache == full-sequence forward, beam-search parity
+with a straight-line reimplementation of the reference algorithm, and the
+n-gram forbid mask vs the reference's python set logic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlp_tpu.config import MODE_S2S, VLPConfig
+from vlp_tpu.data.example_builder import DecodeExampleBuilder
+from vlp_tpu.decode import DecodeParams, Decoder
+from vlp_tpu.models.model import VLPModel
+from vlp_tpu.parallel import train_step as ts
+
+EOS = 4  # [SEP]-like id in the tiny vocab
+MASK = 5
+
+
+def tiny_cfg():
+    return VLPConfig.tiny(vocab_size=32, hidden_size=32, num_hidden_layers=2,
+                          num_attention_heads=2, intermediate_size=64,
+                          len_vis_input=6, max_len_b=5)
+
+
+def setup_model(seed=0):
+    cfg = tiny_cfg()
+    model = VLPModel(cfg)
+    params = ts.init_params(model, cfg, jax.random.PRNGKey(seed))
+    return cfg, model, params
+
+
+def decode_batch(cfg, B, rng):
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[X_SEP]": 2, "[CLS]": 3, "[SEP]": EOS,
+             "[MASK]": MASK}
+    b = DecodeExampleBuilder(cfg, vocab, max_tgt_length=cfg.max_len_b)
+    exs = [b(rng.normal(size=(cfg.len_vis_input, cfg.vis_feat_dim)),
+             rng.normal(size=(cfg.len_vis_input, cfg.vis_pe_dim)))
+           for _ in range(B)]
+    from vlp_tpu.data.example_builder import collate
+    return {k: jnp.asarray(v) for k, v in collate(exs).items()}
+
+
+def oracle_logp(cfg, model, params, batch, b_idx, committed):
+    """Next-token log-probs via a FULL-sequence forward with a [MASK] probe —
+    no KV cache involved.  Ground truth for the incremental path."""
+    prefix = cfg.prefix_len
+    L = cfg.seq_len
+    ids = np.zeros(L, np.int32)
+    ids[:prefix] = np.asarray(batch["input_ids"][b_idx])
+    for i, tok in enumerate(committed):
+        ids[prefix + i] = tok
+    probe_pos = prefix + len(committed)
+    ids[probe_pos] = MASK
+    seq, _ = model.apply(
+        {"params": params},
+        jnp.asarray(ids)[None], batch["segment_ids"][b_idx][None],
+        jnp.asarray([MODE_S2S]), jnp.asarray([probe_pos + 1]),
+        batch["vis_feats"][b_idx][None], batch["vis_pe"][b_idx][None],
+        position_ids=batch["position_ids"][b_idx][None],
+        method=VLPModel.encode)
+    logits = model.apply({"params": params}, seq[:, probe_pos:probe_pos + 1],
+                         batch["task_idx"][b_idx][None],
+                         method=VLPModel.lm_logits)[0, 0]
+    return np.asarray(jax.nn.log_softmax(logits))
+
+
+class TestIncrementalConsistency:
+    def test_greedy_matches_oracle(self, rng):
+        """Each greedy step's choice must equal the argmax of a full-sequence
+        forward over the committed prefix (validates KV cache + decode mask)."""
+        cfg, model, params = setup_model()
+        batch = decode_batch(cfg, 2, rng)
+        dec = Decoder(model, cfg, DecodeParams(
+            mask_id=MASK, eos_id=EOS, max_tgt_length=4))
+        ids, lps = dec.greedy(params, batch)
+        ids = np.asarray(ids)
+        for b in range(2):
+            committed = []
+            for t in range(4):
+                logp = oracle_logp(cfg, model, params, batch, b, committed)
+                want = int(np.argmax(logp))
+                assert ids[b, t] == want, (b, t, ids[b], want)
+                np.testing.assert_allclose(float(lps[b, t]), logp[want],
+                                           rtol=1e-3, atol=1e-3)
+                committed.append(int(ids[b, t]))
+
+
+def reference_beam(cfg, model, params, batch, b, K, T, dp):
+    """Straight-line numpy reimplementation of the reference beam loop
+    (modeling.py:1281-1429) driven by the full-sequence oracle."""
+    beams = [[]]          # committed tokens per beam
+    total_scores, beam_masks, step_ids, step_ptrs = [], [], [], []
+    for t in range(T):
+        logps = np.stack([oracle_logp(cfg, model, params, batch, b, s)
+                          for s in beams])          # [n_beams, V]
+        if dp.forbid_duplicate_ngrams and t >= dp.ngram_size:
+            for bi, seq in enumerate(beams):
+                n = dp.ngram_size
+                tail = seq[-(n - 1):]
+                if any(tok in dp.forbid_ignore_ids for tok in tail):
+                    continue
+                for i in range(len(seq) - (n - 1)):
+                    if seq[i:i + n - 1] == tail and \
+                            seq[i + n - 1] not in dp.forbid_ignore_ids:
+                        logps[bi, seq[i + n - 1]] += -10000.0
+        if dp.min_len and t + 1 <= dp.min_len:
+            logps[:, dp.eos_id] = -10000.0
+        order = np.argsort(-logps, axis=1)[:, :K]
+        kk_scores = np.take_along_axis(logps, order, axis=1)
+        kk_ids = order
+        if t == 0:
+            k_ids, k_scores = kk_ids[0], kk_scores[0]
+            ptrs = np.zeros(K, np.int64)
+        else:
+            prev_eos = beam_masks[-1]
+            prev_scores = total_scores[-1]
+            comb = (kk_scores + prev_eos[:, None] * -10000.0
+                    + prev_scores[:, None]).reshape(-1)
+            idx = np.argsort(-comb)[:K]
+            k_scores = comb[idx]
+            ptrs = idx // K
+            k_ids = kk_ids.reshape(-1)[idx]
+        step_ids.append(k_ids.copy())
+        step_ptrs.append(ptrs.copy())
+        total_scores.append(k_scores.copy())
+        beam_masks.append((k_ids == dp.eos_id).astype(np.float64))
+        beams = [(beams[ptrs[i]] if t > 0 else beams[0]) + [int(k_ids[i])]
+                 for i in range(K)]
+    return (np.stack(step_ids), np.stack(step_ptrs),
+            np.stack(total_scores))
+
+
+class TestBeamParity:
+    @pytest.mark.parametrize("dp_kw", [
+        dict(),
+        dict(min_len=2),
+        dict(forbid_duplicate_ngrams=True, ngram_size=2),
+    ])
+    def test_trace_matches_reference(self, rng, dp_kw):
+        cfg, model, params = setup_model()
+        batch = decode_batch(cfg, 1, rng)
+        K, T = 2, 5
+        dp = DecodeParams(mask_id=MASK, eos_id=EOS, beam_size=K,
+                          max_tgt_length=T, **dp_kw)
+        dec = Decoder(model, cfg, dp)
+        ids, ptrs, scores = jax.tree_util.tree_map(
+            np.asarray, dec._beam(params, batch))
+        rids, rptrs, rscores = reference_beam(cfg, model, params, batch, 0,
+                                              K, T, dp)
+        np.testing.assert_array_equal(ids[:, 0, :], rids)
+        np.testing.assert_array_equal(ptrs[:, 0, :], rptrs)
+        np.testing.assert_allclose(scores[:, 0, :], rscores, rtol=2e-3,
+                                   atol=2e-3)
+
+    def test_backtrace_and_api(self, rng):
+        cfg, model, params = setup_model()
+        batch = decode_batch(cfg, 2, rng)
+        dp = DecodeParams(mask_id=MASK, eos_id=EOS, beam_size=3,
+                          max_tgt_length=5, length_penalty=0.5)
+        dec = Decoder(model, cfg, dp)
+        traces = dec(params, batch)
+        assert traces["pred_seq"].shape == (2, 5)
+        assert traces["wids"].shape == (2, 5, 3)
+
+    def test_beam1_matches_greedy_prefix(self, rng):
+        cfg, model, params = setup_model()
+        batch = decode_batch(cfg, 2, rng)
+        T = 5
+        dec_g = Decoder(model, cfg, DecodeParams(
+            mask_id=MASK, eos_id=EOS, max_tgt_length=T))
+        g_ids, _ = dec_g.greedy(params, batch)
+        dec_b = Decoder(model, cfg, DecodeParams(
+            mask_id=MASK, eos_id=EOS, beam_size=1, max_tgt_length=T))
+        ids, ptrs, scores = jax.tree_util.tree_map(
+            np.asarray, dec_b._beam(params, batch))
+        np.testing.assert_array_equal(np.asarray(g_ids), ids[:, :, 0].T)
+
+
+class TestSample:
+    def test_sample_logprobs_consistent(self, rng):
+        cfg, model, params = setup_model()
+        batch = decode_batch(cfg, 2, rng)
+        dec = Decoder(model, cfg, DecodeParams(
+            mask_id=MASK, eos_id=EOS, max_tgt_length=4))
+        ids, lps = dec.sample(params, batch, jax.random.PRNGKey(7))
+        ids = np.asarray(ids)
+        # sampled tokens' logprobs must match the oracle distribution values
+        for b in range(2):
+            committed = []
+            for t in range(4):
+                logp = oracle_logp(cfg, model, params, batch, b, committed)
+                np.testing.assert_allclose(float(lps[b, t]),
+                                           logp[int(ids[b, t])],
+                                           rtol=1e-3, atol=1e-3)
+                committed.append(int(ids[b, t]))

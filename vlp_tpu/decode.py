@@ -1,0 +1,303 @@
+"""Jit-compiled caption generation: greedy / multinomial sampling / beam search.
+
+Re-implements the reference decoder
+(/root/reference/pytorch_pretrained_bert/modeling.py:1147-1494) TPU-first:
+
+  * the ragged python-list activation cache (modeling.py:1240-1250) becomes a
+    preallocated per-layer K/V cache [layers, B(,K), heads, L, head_dim]
+    updated with ``dynamic_update_slice`` — and K/V are cached directly
+    instead of re-projecting layer inputs every step;
+  * each step feeds [prev_token, [MASK] probe] exactly like the reference's
+    ``x_input_ids = cat(curr_ids, mask_ids)`` (modeling.py:1213), predicting
+    at the probe and committing only the real token's K/V;
+  * the whole generation loop is a ``lax.scan`` under jit — beam topk,
+    back-pointer bookkeeping, EOS masking (-10000 for finished beams,
+    modeling.py:1314), min-length EOS suppression (modeling.py:1302-1303) and
+    the duplicate-n-gram forbid mask (modeling.py:1375-1428, rebuilt here as
+    an in-graph sliding-window match + scatter) all run on device;
+  * the final back-pointer trace reconstruction (modeling.py:1436-1472) runs
+    on host over the small [T, B, K] trace arrays, exactly as upstream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlp_tpu.config import VLPConfig
+from vlp_tpu.models.model import VLPModel
+
+NEG = -10000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeParams:
+    mask_id: int = 103
+    eos_id: int = 102
+    pad_id: int = 0
+    beam_size: int = 1
+    length_penalty: float = 0.0
+    forbid_duplicate_ngrams: bool = False
+    ngram_size: int = 3
+    min_len: int = 0
+    max_tgt_length: int = 20
+    # vocab-size bool mask of ids ignored by the ngram-forbid logic
+    forbid_ignore_ids: Tuple[int, ...] = ()
+
+
+def _expand_beams(x: jnp.ndarray, K: int) -> jnp.ndarray:
+    """[B, ...] -> [B*K, ...] repeating each row K times (first_expand,
+    modeling.py:1325-1332)."""
+    B = x.shape[0]
+    return jnp.repeat(x, K, axis=0).reshape((B * K,) + x.shape[1:])
+
+
+def _gather_beams(x: jnp.ndarray, ptrs: jnp.ndarray, B: int, K: int
+                  ) -> jnp.ndarray:
+    """Reorder beam-major rows by back pointers (select_beam_items,
+    modeling.py:1334-1348).  x: [B*K, ...]; ptrs: int[B, K]."""
+    xs = x.reshape((B, K) + x.shape[1:])
+    # advanced indexing lowers to a gather with [B, K] indices and whole
+    # trailing slices (take_along_axis would materialise a full-shape index
+    # array — pathological for the KV cache)
+    out = xs[jnp.arange(B)[:, None], ptrs.astype(jnp.int32)]
+    return out.reshape(x.shape)
+
+
+class Decoder:
+    """Functional decoder bound to a model definition (params passed per call)."""
+
+    def __init__(self, model: VLPModel, cfg: VLPConfig, dp: DecodeParams):
+        self.model = model
+        self.cfg = cfg
+        self.dp = dp
+        self._greedy = jax.jit(functools.partial(self._run_greedy,
+                                                 sample=False))
+        self._sample = jax.jit(functools.partial(self._run_greedy,
+                                                 sample=True))
+        self._beam = jax.jit(self._run_beam)
+
+    # -- shared primitives -------------------------------------------------
+    def _prefill(self, params, batch):
+        return self.model.apply(
+            {"params": params}, batch["input_ids"], batch["segment_ids"],
+            batch["position_ids"], batch["vis_feats"], batch["vis_pe"],
+            self.dp.mask_id, method=VLPModel.prefill)
+
+    def _step(self, params, prev_ids, seg, pos, ck, cv, cache_len):
+        return self.model.apply(
+            {"params": params}, prev_ids, seg, pos, ck, cv, cache_len,
+            self.dp.mask_id, method=VLPModel.decode_step)
+
+    def _logits(self, params, hidden, task_idx):
+        out = self.model.apply({"params": params}, hidden, task_idx,
+                               method=VLPModel.lm_logits)
+        return out[:, 0, :]  # [B, V]
+
+    # -- greedy / sample ---------------------------------------------------
+    def _run_greedy(self, params, batch, rng, *, sample: bool):
+        cfg, dp = self.cfg, self.dp
+        B = batch["input_ids"].shape[0]
+        T = dp.max_tgt_length
+        prefix = cfg.prefix_len
+
+        hidden, ck, cv = self._prefill(params, batch)
+        logits0 = self._logits(params, hidden, batch["task_idx"])
+
+        def select(logits, rng):
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            if sample:
+                ids = jax.random.categorical(rng, logits, axis=-1)
+            else:
+                ids = jnp.argmax(logits, axis=-1)
+            lp = jnp.take_along_axis(logp, ids[:, None], axis=1)[:, 0]
+            return ids.astype(jnp.int32), lp
+
+        rng0, rng_loop = jax.random.split(rng)
+        ids0, lp0 = select(logits0, rng0)
+
+        def body(carry, t):
+            ck, cv, prev, rng = carry
+            rng, sub = jax.random.split(rng)
+            hidden, ck, cv = self._step(
+                params, prev[:, None], batch["segment_ids"],
+                batch["position_ids"], ck, cv, prefix + t)
+            logits = self._logits(params, hidden, batch["task_idx"])
+            ids, lp = select(logits, sub)
+            return (ck, cv, ids, rng), (ids, lp)
+
+        (_, _, _, _), (ids_rest, lp_rest) = jax.lax.scan(
+            body, (ck, cv, ids0, rng_loop), jnp.arange(T - 1))
+        ids = jnp.concatenate([ids0[None], ids_rest], axis=0).T   # [B, T]
+        lps = jnp.concatenate([lp0[None], lp_rest], axis=0).T
+        return ids, lps
+
+    def greedy(self, params, batch, rng=None):
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        return self._greedy(params, batch, rng)
+
+    def sample(self, params, batch, rng):
+        return self._sample(params, batch, rng)
+
+    # -- beam search -------------------------------------------------------
+    def _forbid_mask(self, seqs: jnp.ndarray, t: jnp.ndarray, V: int
+                     ) -> jnp.ndarray:
+        """In-graph duplicate-ngram forbid mask [B*K, V].
+
+        seqs: int32[B*K, T] committed tokens (cols > t are stale).
+        A token w is forbidden iff some i satisfies
+        seqs[i:i+n-1] == seqs[t-n+2:t+1] (the current tail) and
+        w == seqs[i+n-1], with the reference's ignore-set exemptions
+        (modeling.py:1391-1406).
+        """
+        dp = self.dp
+        n = dp.ngram_size
+        BK, T = seqs.shape
+        W = T - n + 1
+        tail_start = t - (n - 2)  # index of first tail token; tail len = n-1
+        tail = jax.lax.dynamic_slice_in_dim(seqs, tail_start, n - 1, axis=1)
+
+        ignore = jnp.zeros((V,), bool)
+        for tok in dp.forbid_ignore_ids:
+            ignore = ignore.at[tok].set(True)
+        tail_has_ignore = jnp.any(ignore[tail], axis=1)          # [BK]
+
+        # eq[b, i] = window i matches the tail
+        eq = jnp.ones((BK, W), bool)
+        for j in range(n - 1):
+            eq = eq & (seqs[:, j:j + W] == tail[:, j:j + 1])
+        win_idx = jnp.arange(W)[None, :]
+        valid = win_idx + (n - 1) <= t                           # i+n-1 <= t
+        cand = seqs[:, n - 1:n - 1 + W]                          # seqs[i+n-1]
+        flag = eq & valid & ~ignore[cand] & ~tail_has_ignore[:, None]
+
+        mask = jnp.zeros((BK, V), jnp.float32)
+        mask = mask.at[jnp.arange(BK)[:, None], cand].max(
+            flag.astype(jnp.float32))
+        return mask
+
+    def _run_beam(self, params, batch):
+        cfg, dp = self.cfg, self.dp
+        K = dp.beam_size
+        B = batch["input_ids"].shape[0]
+        T = dp.max_tgt_length
+        prefix = cfg.prefix_len
+        V = cfg.vocab_size
+
+        hidden, ck, cv = self._prefill(params, batch)
+        logits0 = self._logits(params, hidden, batch["task_idx"])
+        logp0 = jax.nn.log_softmax(logits0, axis=-1)
+        if dp.min_len and 1 <= dp.min_len:
+            logp0 = logp0.at[:, dp.eos_id].set(NEG)
+        k_scores0, k_ids0 = jax.lax.top_k(logp0, K)              # [B, K]
+
+        # expand everything to beam-major B*K
+        ck = jax.vmap(lambda c: _expand_beams(c, K))(ck)
+        cv = jax.vmap(lambda c: _expand_beams(c, K))(cv)
+        seg = _expand_beams(batch["segment_ids"], K)
+        pos = _expand_beams(batch["position_ids"], K)
+        task_idx = _expand_beams(batch["task_idx"], K)
+
+        seqs = jnp.zeros((B * K, T), jnp.int32)
+        seqs = seqs.at[:, 0].set(k_ids0.reshape(-1))
+
+        def body(carry, t):
+            ck, cv, seqs, prev_ids, last_scores, last_eos = carry
+            hidden, ck, cv = self._step(
+                params, prev_ids[:, None], seg, pos, ck, cv, prefix + t - 1)
+            logits = self.model.apply({"params": params}, hidden, task_idx,
+                                      method=VLPModel.lm_logits)[:, 0, :]
+            logp = jax.nn.log_softmax(logits, axis=-1)           # [B*K, V]
+            if dp.forbid_duplicate_ngrams:
+                fm = self._forbid_mask(seqs, t - 1, V)
+                # active once the committed prefix has >= n tokens
+                fm = jnp.where(t >= dp.ngram_size, fm, 0.0)
+                logp = logp + fm * NEG
+            if dp.min_len:
+                logp = jnp.where(
+                    t + 1 <= dp.min_len,
+                    logp.at[:, dp.eos_id].set(NEG), logp)
+            kk_scores, kk_ids = jax.lax.top_k(logp, K)           # [B*K, K]
+            kk_scores = kk_scores + last_eos.reshape(-1, 1) * NEG \
+                + last_scores.reshape(-1, 1)
+            kk_scores = kk_scores.reshape(B, K * K)
+            kk_ids = kk_ids.reshape(B, K * K)
+            k_scores, k_idx = jax.lax.top_k(kk_scores, K)        # [B, K]
+            back_ptrs = k_idx // K
+            k_ids = jnp.take_along_axis(kk_ids, k_idx, axis=1)
+
+            # reorder caches + committed seqs by back pointers, then commit
+            ck = jax.vmap(lambda c: _gather_beams(c, back_ptrs, B, K))(ck)
+            cv = jax.vmap(lambda c: _gather_beams(c, back_ptrs, B, K))(cv)
+            seqs = _gather_beams(seqs, back_ptrs, B, K)
+            seqs = seqs.at[:, t].set(k_ids.reshape(-1))
+
+            eos = (k_ids == dp.eos_id).astype(jnp.float32)
+            carry = (ck, cv, seqs, k_ids.reshape(-1), k_scores, eos)
+            return carry, (k_ids, back_ptrs, k_scores, eos)
+
+        eos0 = (k_ids0 == dp.eos_id).astype(jnp.float32)
+        carry0 = (ck, cv, seqs, k_ids0.reshape(-1), k_scores0, eos0)
+        _, (ids_r, ptrs_r, scores_r, eos_r) = jax.lax.scan(
+            body, carry0, jnp.arange(1, T))
+
+        step_ids = jnp.concatenate([k_ids0[None], ids_r], axis=0)       # [T,B,K]
+        step_ptrs = jnp.concatenate(
+            [jnp.zeros((1, B, K), jnp.int32), ptrs_r], axis=0)
+        step_scores = jnp.concatenate([k_scores0[None], scores_r], axis=0)
+        return step_ids, step_ptrs, step_scores
+
+    def beam_search(self, params, batch) -> Dict[str, np.ndarray]:
+        step_ids, step_ptrs, step_scores = jax.tree_util.tree_map(
+            np.asarray, self._beam(params, batch))
+        return self._backtrace(step_ids, step_ptrs, step_scores)
+
+    def _backtrace(self, step_ids, step_ptrs, step_scores
+                   ) -> Dict[str, np.ndarray]:
+        """Host-side trace reconstruction (modeling.py:1436-1472)."""
+        dp = self.dp
+        T, B, K = step_ids.shape
+        pred = np.zeros((B, T), np.int64)
+        for b in range(B):
+            wids = step_ids[:, b, :]
+            ptrs = step_ptrs[:, b, :]
+            scores = step_scores[:, b, :]
+            last_frame = T - 1
+            for t in range(T):
+                if (wids[t] == dp.eos_id).all():
+                    last_frame = t
+                    break
+            best, frame_id, pos = -np.inf, -1, -1
+            for fid in range(last_frame + 1):
+                for i in range(K):
+                    if wids[fid, i] == dp.eos_id or fid == last_frame:
+                        s = scores[fid, i] + dp.length_penalty * (fid + 1)
+                        if s > best:
+                            best, frame_id, pos = s, fid, i
+            if frame_id == -1:
+                pred[b, 0] = 0
+                continue
+            seq = [wids[frame_id, pos]]
+            for fid in range(frame_id, 0, -1):
+                pos = ptrs[fid, pos]
+                seq.append(wids[fid - 1, pos])
+            seq.reverse()
+            pred[b, :len(seq)] = seq
+        return {"pred_seq": pred, "wids": step_ids.transpose(1, 0, 2),
+                "ptrs": step_ptrs.transpose(1, 0, 2),
+                "scores": step_scores.transpose(1, 0, 2)}
+
+    # -- unified entry (BertForSeq2SeqDecoder.forward parity) --------------
+    def __call__(self, params, batch, rng=None, sample_mode: str = "greedy"):
+        if self.dp.beam_size > 1:
+            return self.beam_search(params, batch)
+        if sample_mode == "greedy":
+            return self.greedy(params, batch, rng)
+        if sample_mode == "sample":
+            return self.sample(params, batch, rng)
+        raise NotImplementedError(sample_mode)
