@@ -1,0 +1,180 @@
+"""Data pipeline (stores, loaders) and SCST."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlp_tpu import scst as scst_lib
+from vlp_tpu.config import VLPConfig
+from vlp_tpu.data.dataset import CaptionExample
+from vlp_tpu.data.example_builder import (DecodeExampleBuilder,
+                                          TrainExampleBuilder, collate)
+from vlp_tpu.data.features import CachedStore, SyntheticFeatureStore
+from vlp_tpu.data.loader import EvalLoader, TrainLoader
+from vlp_tpu.models.model import VLPModel
+from vlp_tpu.parallel import train_step as ts
+
+VOCAB = {w: i for i, w in enumerate(
+    ["[PAD]", "[UNK]", "[X_SEP]", "[CLS]", "[SEP]", "[MASK]", "a", "man",
+     "dog", "horse", "rides", "runs", "fast"])}
+
+
+def tiny_cfg():
+    return VLPConfig.tiny(vocab_size=32, hidden_size=32, num_hidden_layers=2,
+                          num_attention_heads=2, intermediate_size=64,
+                          len_vis_input=6, max_len_b=5, max_pred=4,
+                          vis_feat_dim=16, vis_cls_dim=8, vis_pe_dim=14)
+
+
+def examples(n):
+    return [CaptionExample(f"img_{i}.npy", ["a", "man", "rides"],
+                           image_id=i) for i in range(n)]
+
+
+def store(cfg):
+    return SyntheticFeatureStore(num_regions=cfg.len_vis_input,
+                                 feat_dim=cfg.vis_feat_dim,
+                                 cls_dim=cfg.vis_pe_dim - 6)
+
+
+class TestStores:
+    def test_synthetic_deterministic(self):
+        cfg = tiny_cfg()
+        s = store(cfg)
+        f1, p1 = s.get("k1")
+        f2, p2 = s.get("k1")
+        np.testing.assert_array_equal(f1, f2)
+        assert f1.shape == (cfg.len_vis_input, cfg.vis_feat_dim)
+        assert p1.shape == (cfg.len_vis_input, cfg.vis_pe_dim)
+        f3, _ = s.get("k2")
+        assert np.abs(f1 - f3).max() > 0
+
+    def test_cached(self):
+        cfg = tiny_cfg()
+        calls = []
+        inner = store(cfg)
+        orig = inner.get
+        inner.get = lambda k: (calls.append(k), orig(k))[1]
+        c = CachedStore(inner)
+        c.get("a")
+        c.get("a")
+        assert calls == ["a"]
+
+
+class TestTrainLoader:
+    def make(self, cfg, n=20, **kw):
+        builders = [
+            TrainExampleBuilder(cfg, VOCAB, mode="s2s"),
+            TrainExampleBuilder(cfg, VOCAB, mode="bi"),
+        ]
+        return TrainLoader(examples(n), store(cfg), builders, [0.75, 0.25],
+                           batch_size=4, num_workers=2, **kw)
+
+    def test_batches(self):
+        cfg = tiny_cfg()
+        loader = self.make(cfg)
+        batches = list(loader.epoch(0))
+        assert len(batches) == len(loader) == 5
+        b = batches[0]
+        assert b["input_ids"].shape == (4, cfg.seq_len)
+        assert b["vis_feats"].shape == (4, cfg.len_vis_input, cfg.vis_feat_dim)
+        modes = np.concatenate([b["mode"] for b in batches])
+        assert set(modes.tolist()) <= {0, 1}
+
+    def test_deterministic_given_seed(self):
+        cfg = tiny_cfg()
+        b1 = next(iter(self.make(cfg, seed=7).epoch(3)))
+        b2 = next(iter(self.make(cfg, seed=7).epoch(3)))
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b2[k])
+
+    def test_epochs_reshuffle(self):
+        cfg = tiny_cfg()
+        loader = self.make(cfg)
+        i0 = loader.epoch_indices(0)
+        i1 = loader.epoch_indices(1)
+        assert not np.array_equal(i0, i1)
+
+    def test_process_sharding_disjoint(self):
+        cfg = tiny_cfg()
+        l0 = self.make(cfg, process_index=0, process_count=2)
+        l1 = self.make(cfg, process_index=1, process_count=2)
+        i0 = set(l0.epoch_indices(0).tolist())
+        i1 = set(l1.epoch_indices(0).tolist())
+        assert not (i0 & i1)
+        assert len(i0) == len(i1) == 10
+
+
+class TestEvalLoader:
+    def test_tail_padding(self):
+        cfg = tiny_cfg()
+        builder = DecodeExampleBuilder(cfg, VOCAB,
+                                       max_tgt_length=cfg.max_len_b)
+        loader = EvalLoader(examples(5), store(cfg), builder, batch_size=4)
+        out = list(loader)
+        assert len(out) == 2
+        batch, chunk, pad = out[1]
+        assert pad == 3
+        assert len(chunk) == 1
+        assert batch["input_ids"].shape[0] == 4
+
+
+class TestSCST:
+    def test_reward_and_grads(self, rng):
+        cfg = tiny_cfg()
+        model = VLPModel(cfg)
+        params = ts.init_params(model, cfg, jax.random.PRNGKey(0))
+        builder = DecodeExampleBuilder(cfg, VOCAB,
+                                       max_tgt_length=cfg.max_len_b)
+        s = store(cfg)
+        batch = {k: jnp.asarray(v) for k, v in collate(
+            [builder(*s.get(f"i{j}")) for j in range(2)]).items()}
+        trainer = scst_lib.SCSTTrainer(
+            model, cfg, mask_id=VOCAB["[MASK]"], eos_id=VOCAB["[SEP]"],
+            max_tgt_length=cfg.max_len_b)
+        gt = np.array([[6, 7, 10, 4, 0], [8, 11, 4, 0, 0]], np.int32)
+        loss, grads, metrics = trainer.loss_and_grads(
+            params, batch, gt, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                    for g in jax.tree_util.tree_leaves(grads))
+        assert gnorm > 0
+        assert "mean_reward" in metrics
+
+    def test_forced_logprobs_match_sample(self, rng):
+        """Forced rollout must reproduce the sampling rollout's log-probs."""
+        cfg = tiny_cfg()
+        model = VLPModel(cfg)
+        params = ts.init_params(model, cfg, jax.random.PRNGKey(0))
+        builder = DecodeExampleBuilder(cfg, VOCAB,
+                                       max_tgt_length=cfg.max_len_b)
+        s = store(cfg)
+        batch = {k: jnp.asarray(v) for k, v in collate(
+            [builder(*s.get(f"i{j}")) for j in range(2)]).items()}
+        trainer = scst_lib.SCSTTrainer(
+            model, cfg, mask_id=VOCAB["[MASK]"], eos_id=VOCAB["[SEP]"],
+            max_tgt_length=cfg.max_len_b)
+        ids, lps = trainer.decoder.sample(params, batch, jax.random.PRNGKey(5))
+        forced = trainer._forced_logprobs(params, batch, jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(forced), np.asarray(lps),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_clean_rollout(self):
+        ids = np.array([[5, 6, 4, 7, 8],     # EOS at 2 -> keep EOS, zero rest
+                        [5, 0, 6, 7, 8],     # PAD at 1 -> stop without EOS
+                        [5, 6, 7, 8, 9]])    # no stop
+        out = scst_lib.clean_rollout(ids, eos_id=4, pad_id=0)
+        np.testing.assert_array_equal(
+            out, [[5, 6, 4, 0, 0], [5, 0, 0, 0, 0], [5, 6, 7, 8, 9]])
+
+    def test_reward_sign(self):
+        # batch of 2 distinct images so corpus idf is nonzero (a 1-image
+        # batch degenerates to zero idf — same as the reference scorer)
+        gt = np.array([[6, 7, 10, 4, 0], [8, 11, 12, 4, 0]])
+        good = gt.copy()
+        bad = np.array([[9, 9, 9, 9, 9], [3, 3, 3, 3, 3]])
+        r = scst_lib.get_self_critical_reward(bad, gt, good)
+        assert (r > 0).all()      # sample matches gt, greedy doesn't
+        r2 = scst_lib.get_self_critical_reward(good, gt, bad)
+        assert (r2 < 0).all()

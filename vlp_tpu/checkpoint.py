@@ -1,0 +1,270 @@
+"""Checkpointing: orbax save/restore + PyTorch ``.bin`` converter.
+
+The converter re-implements the reference ``from_pretrained`` surgery
+(/root/reference/pytorch_pretrained_bert/modeling.py:553-764):
+  * ``gamma``/``beta`` -> ``weight``/``bias`` rename          (651-663)
+  * token-type table expansion 2 -> 6 (rows 2,3,4 copy row 0;
+    row 5 copies row 1) or truncation                         (665-683)
+  * position-table tiling to a larger ``max_position_embeddings``
+    or truncation                                             (685-702)
+  * relax-projection replicate 1 -> R / select R -> 1 of the MLM
+    transform dense + LayerNorm                               (704-732)
+then maps torch parameter names onto the vlp_tpu flax tree (dense kernels
+transposed).  Epoch-checkpoint scanning mirrors ``_get_max_epoch_model``
+(run_img2txt_dist.py:33-43).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from vlp_tpu.config import VLPConfig
+
+
+# ---------------------------------------------------------------------------
+# torch .bin -> numpy state dict + surgery
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def apply_surgery(sd: Dict[str, np.ndarray], cfg: VLPConfig,
+                  task_idx: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Rename + reshape a reference state dict to match ``cfg``."""
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("gamma", "weight").replace("beta", "bias")
+        out[k] = np.asarray(v)
+    sd = out
+
+    _k = "bert.embeddings.token_type_embeddings.weight"
+    if _k in sd and sd[_k].shape[0] != cfg.type_vocab_size:
+        old = sd[_k]
+        if cfg.type_vocab_size > old.shape[0]:
+            new = np.zeros((cfg.type_vocab_size, old.shape[1]), old.dtype)
+            new[:old.shape[0]] = old
+            if cfg.type_vocab_size >= 6:
+                new[2] = old[0]   # L2R
+                new[3] = old[0]   # R2L
+                new[4] = old[0]   # S2S source
+                new[5] = old[1]   # S2S target
+            sd[_k] = new
+        else:
+            sd[_k] = old[:cfg.type_vocab_size]
+
+    _k = "bert.embeddings.position_embeddings.weight"
+    if _k in sd and sd[_k].shape[0] != cfg.max_position_embeddings:
+        old = sd[_k]
+        if cfg.max_position_embeddings > old.shape[0]:
+            reps = -(-cfg.max_position_embeddings // old.shape[0])
+            sd[_k] = np.concatenate([old] * reps)[:cfg.max_position_embeddings]
+        else:
+            sd[_k] = old[:cfg.max_position_embeddings]
+
+    _k = "cls.predictions.transform.dense.weight"
+    r = max(cfg.relax_projection, 1)
+    H = cfg.hidden_size
+    if _k in sd and sd[_k].shape[0] != r * H:
+        n_state = sd[_k].shape[0] // H
+        assert (n_state == 1) != (r == 1), (n_state, r)
+        vec_keys = ("cls.predictions.transform.dense.bias",
+                    "cls.predictions.transform.LayerNorm.weight",
+                    "cls.predictions.transform.LayerNorm.bias")
+        if n_state == 1:      # replicate 1 -> r
+            sd[_k] = np.tile(sd[_k], (r, 1))
+            for vk in vec_keys:
+                sd[vk] = np.tile(sd[vk], r)
+        else:                 # select r -> 1
+            ti = task_idx if task_idx is not None and 0 <= task_idx <= 3 else 0
+            sd[_k] = sd[_k].reshape(n_state, H, H)[ti]
+            for vk in vec_keys:
+                sd[vk] = sd[vk].reshape(n_state, H)[ti]
+    return sd
+
+
+# torch name -> (flax path, transpose?)
+def _torch_to_flax_map(cfg: VLPConfig) -> Dict[str, tuple]:
+    m: Dict[str, tuple] = {
+        "bert.embeddings.word_embeddings.weight":
+            (("embeddings", "word_embeddings", "embedding"), False),
+        "bert.embeddings.position_embeddings.weight":
+            (("embeddings", "position_embeddings", "embedding"), False),
+        "bert.embeddings.token_type_embeddings.weight":
+            (("embeddings", "token_type_embeddings", "embedding"), False),
+        "bert.embeddings.LayerNorm.weight":
+            (("embeddings", "LayerNorm", "scale"), False),
+        "bert.embeddings.LayerNorm.bias":
+            (("embeddings", "LayerNorm", "bias"), False),
+        "bert.pooler.dense.weight": (("pooler_dense", "kernel"), True),
+        "bert.pooler.dense.bias": (("pooler_dense", "bias"), False),
+        "cls.predictions.transform.dense.weight":
+            (("mlm", "transform_dense", "kernel"), True),
+        "cls.predictions.transform.dense.bias":
+            (("mlm", "transform_dense", "bias"), False),
+        "cls.predictions.transform.LayerNorm.weight":
+            (("mlm", "transform_ln", "scale"), False),
+        "cls.predictions.transform.LayerNorm.bias":
+            (("mlm", "transform_ln", "bias"), False),
+        "cls.predictions.bias": (("mlm", "bias"), False),
+        "vis_embed.0.weight": (("vis_fc1", "kernel"), True),
+        "vis_embed.0.bias": (("vis_fc1", "bias"), False),
+        "vis_embed.2.weight": (("vis_fc2", "kernel"), True),
+        "vis_embed.2.bias": (("vis_fc2", "bias"), False),
+        "vis_pe_embed.0.weight": (("vis_pe_fc", "kernel"), True),
+        "vis_pe_embed.0.bias": (("vis_pe_fc", "bias"), False),
+        "ans_classifier.0.weight": (("ans_fc1", "kernel"), True),
+        "ans_classifier.0.bias": (("ans_fc1", "bias"), False),
+        "ans_classifier.2.weight": (("ans_fc2", "kernel"), True),
+        "ans_classifier.2.bias": (("ans_fc2", "bias"), False),
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"bert.encoder.layer.{i}."
+        li = f"layer_{i}"
+        for tname, fname in (("attention.self.query", "q_proj"),
+                             ("attention.self.key", "k_proj"),
+                             ("attention.self.value", "v_proj"),
+                             ("attention.output.dense", "out_proj"),
+                             ("intermediate.dense", "ffn_in"),
+                             ("output.dense", "ffn_out")):
+            m[p + tname + ".weight"] = ((li, fname, "kernel"), True)
+            m[p + tname + ".bias"] = ((li, fname, "bias"), False)
+        m[p + "attention.output.LayerNorm.weight"] = ((li, "attn_ln", "scale"),
+                                                      False)
+        m[p + "attention.output.LayerNorm.bias"] = ((li, "attn_ln", "bias"),
+                                                    False)
+        m[p + "output.LayerNorm.weight"] = ((li, "ffn_ln", "scale"), False)
+        m[p + "output.LayerNorm.bias"] = ((li, "ffn_ln", "bias"), False)
+    return m
+
+
+def torch_to_params(sd: Dict[str, np.ndarray], cfg: VLPConfig,
+                    params_template: Dict[str, Any],
+                    task_idx: Optional[int] = None,
+                    strict: bool = False) -> Dict[str, Any]:
+    """Convert a reference state dict into a flax params tree.
+
+    Keys absent from the checkpoint keep the template's (fresh) values —
+    matching the reference behavior where vis_embed / ans_classifier are not
+    in BERT checkpoints (modeling.py:1001 'will not be initialized').
+    """
+    import copy
+
+    sd = apply_surgery(sd, cfg, task_idx)
+    mapping = _torch_to_flax_map(cfg)
+    params = copy.deepcopy(jax_tree_to_numpy(params_template))
+    missing, unexpected = [], []
+    for tk, (path, transpose) in mapping.items():
+        if tk not in sd:
+            missing.append(tk)
+            continue
+        v = sd.pop(tk)
+        if transpose:
+            v = v.T
+        node = params
+        for p in path[:-1]:
+            node = node[p]
+        want = node[path[-1]].shape
+        assert v.shape == want, f"{tk}: {v.shape} != {want}"
+        node[path[-1]] = v.astype(node[path[-1]].dtype)
+    unexpected = [k for k in sd
+                  if not k.startswith("cls.predictions.decoder")]  # tied
+    if strict and (missing or unexpected):
+        raise ValueError(f"missing={missing} unexpected={unexpected}")
+    return params
+
+
+def params_to_torch(params: Dict[str, Any], cfg: VLPConfig
+                    ) -> Dict[str, np.ndarray]:
+    """Reverse mapping: flax params -> reference-format state dict (so
+    checkpoints trained here load in the reference stack)."""
+    params = jax_tree_to_numpy(params)
+    out: Dict[str, np.ndarray] = {}
+    for tk, (path, transpose) in _torch_to_flax_map(cfg).items():
+        node = params
+        ok = True
+        for p in path:
+            if not isinstance(node, dict) or p not in node:
+                ok = False
+                break
+            node = node[p]
+        if not ok:
+            continue
+        v = np.asarray(node)
+        out[tk] = v.T if transpose else v
+    if "embeddings" in params:
+        out["cls.predictions.decoder.weight"] = np.asarray(
+            params["embeddings"]["word_embeddings"]["embedding"])
+    return out
+
+
+def jax_tree_to_numpy(tree):
+    import jax
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+# ---------------------------------------------------------------------------
+# orbax-based native checkpoints
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(output_dir: str, epoch: int, state, keep_optimizer=True):
+    """Write model.{epoch} (+ optim.{epoch}) under output_dir
+    (run_img2txt_dist.py:588-599 naming, orbax format)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(output_dir, f"model.{epoch}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax_tree_to_numpy(state.params), force=True)
+    if keep_optimizer:
+        opath = os.path.abspath(os.path.join(output_dir, f"optim.{epoch}"))
+        ckptr.save(opath, jax_tree_to_numpy(
+            {"m": state.opt_state.m, "v": state.opt_state.v,
+             "step": state.opt_state.step}), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_params(path: str, params_template):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path),
+                         jax_tree_to_numpy(params_template))
+
+
+def restore_optimizer(path: str, opt_template):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    tpl = {"m": jax_tree_to_numpy(opt_template.m),
+           "v": jax_tree_to_numpy(opt_template.v),
+           "step": np.asarray(opt_template.step)}
+    return ckptr.restore(os.path.abspath(path), tpl)
+
+
+def get_max_epoch_model(output_dir: str) -> Optional[int]:
+    """Largest epoch with BOTH model.N and optim.N present
+    (run_img2txt_dist.py:33-43)."""
+    models = {int(re.search(r"model\.(\d+)$", p).group(1))
+              for p in glob.glob(os.path.join(output_dir, "model.*"))
+              if re.search(r"model\.(\d+)$", p)}
+    optims = {int(re.search(r"optim\.(\d+)$", p).group(1))
+              for p in glob.glob(os.path.join(output_dir, "optim.*"))
+              if re.search(r"optim\.(\d+)$", p)}
+    both = models & optims
+    return max(both) if both else None
+
+
+def load_model_checkpoint(path: str, cfg: VLPConfig, params_template,
+                          task_idx: Optional[int] = None):
+    """Load either an orbax dir or a reference torch .bin."""
+    if os.path.isdir(path):
+        return restore_params(path, params_template)
+    sd = load_torch_state_dict(path)
+    return torch_to_params(sd, cfg, params_template, task_idx)

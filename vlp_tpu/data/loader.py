@@ -1,0 +1,142 @@
+"""Prefetching train/eval loaders (host pipeline feeding the device).
+
+Replaces torch DataLoader + RandomSampler/DistributedSampler
+(/root/reference/vlp/run_img2txt_dist.py:292-298): a thread pool runs the
+example builders (feature fetch + masking + featurization) and a bounded
+queue prefetches collated fixed-shape numpy batches; per-host sharding by
+``jax.process_index()`` replaces DistributedSampler.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from vlp_tpu.data.example_builder import collate
+
+
+class TrainLoader:
+    """Randomly samples (example, pipeline) pairs each epoch.
+
+    ``builders`` are TrainExampleBuilder instances picked per example with
+    ``builder_probs`` (the reference's joint s2s/bi sampling,
+    seq2seq_loader.py:163-167).
+    """
+
+    def __init__(self, examples: Sequence, store, builders: Sequence,
+                 builder_probs: Sequence[float], batch_size: int, *,
+                 num_workers: int = 4, prefetch: int = 4, seed: int = 42,
+                 process_index: int = 0, process_count: int = 1,
+                 drop_last: bool = True):
+        assert abs(sum(builder_probs) - 1.0) < 1e-6
+        self.examples = list(examples)
+        self.store = store
+        self.builders = list(builders)
+        self.builder_probs = list(builder_probs)
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.drop_last = drop_last
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        """Shuffled, padded, per-host-sharded indices
+        (DistributedSampler semantics)."""
+        rng = np.random.default_rng(self.seed + epoch)
+        idx = rng.permutation(len(self.examples))
+        total = ((len(idx) + self.process_count - 1)
+                 // self.process_count) * self.process_count
+        if total > len(idx):
+            idx = np.concatenate([idx, idx[:total - len(idx)]])
+        return idx[self.process_index::self.process_count]
+
+    def __len__(self) -> int:
+        n = len(self.epoch_indices(0))
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _build_one(self, ex_idx: int, sample_seed: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(sample_seed)
+        ex = self.examples[ex_idx]
+        b = self.builders[rng.choice(len(self.builders), p=self.builder_probs)]
+        feat, pe = self.store.get(ex.feature_key)
+        return b(ex.tokens, feat, pe, rng, ans_scores=getattr(ex, "ans_scores",
+                                                              None))
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self.epoch_indices(epoch)
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(nb):
+                    lo = b * self.batch_size
+                    chunk = idx[lo:lo + self.batch_size]
+                    seeds = [int(self.seed * 1_000_003 + epoch * 7919
+                                 + int(i) * 31 + j)
+                             for j, i in enumerate(chunk)]
+                    futs = [pool.submit(self._build_one, int(i), s)
+                            for i, s in zip(chunk, seeds)]
+                    batch = collate([f.result() for f in futs])
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+class EvalLoader:
+    """Sequential batched eval loader (decode_img2txt.py:215-226 pattern)."""
+
+    def __init__(self, examples: Sequence, store, builder: Callable,
+                 batch_size: int, num_workers: int = 4):
+        self.examples = list(examples)
+        self.store = store
+        self.builder = builder
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+
+    def __len__(self):
+        return (len(self.examples) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        pool = ThreadPoolExecutor(self.num_workers)
+
+        def build(ex):
+            feat, pe = self.store.get(ex.feature_key)
+            return self.builder(feat, pe)
+
+        try:
+            for lo in range(0, len(self.examples), self.batch_size):
+                chunk = self.examples[lo:lo + self.batch_size]
+                exs = list(pool.map(build, chunk))
+                # pad the tail batch to full size (static device shapes)
+                pad = self.batch_size - len(exs)
+                exs = exs + [exs[-1]] * pad
+                yield collate(exs), chunk, pad
+        finally:
+            pool.shutdown(wait=False)

@@ -374,6 +374,19 @@ class VLPModel(nn.Module):
         return out
 
     # ------------------------------------------------------------------
+    def init_all(self, batch: Dict[str, Array]) -> Dict[str, Array]:
+        """Initialization-only forward touching every parameterised head
+        (flax creates params lazily; task-specific forwards would leave the
+        unused heads without parameters)."""
+        out = self.pretrain_losses(batch, deterministic=True,
+                                   drop_worst_ratio=0.0,
+                                   mask_image_regions=True, task="img2txt")
+        if self.with_vqa:
+            z = jnp.zeros((1, self.cfg.hidden_size), jnp.dtype(self.cfg.dtype))
+            _ = self.ans_fc2(nn.relu(self.ans_fc1(z)))
+        return out
+
+    # ------------------------------------------------------------------
     def vqa_inference(self, batch: Dict[str, Array]) -> Array:
         """Answer-id argmax over answers 1.. (modeling.py:1039-1047)."""
         cfg = self.cfg

@@ -32,13 +32,11 @@ def create_model(cfg: VLPConfig, task: str = "img2txt") -> VLPModel:
 
 
 def init_params(model: VLPModel, cfg: VLPConfig, rng, task: str = "img2txt"):
-    B = 2
-    batch = dummy_batch(cfg, B, task)
+    del task  # init_all touches every head regardless of task
+    batch = dummy_batch(cfg, 2, "img2txt")
     variables = model.init(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-        batch, deterministic=True, drop_worst_ratio=0.0,
-        mask_image_regions=False, task=task,
-        method=VLPModel.pretrain_losses)
+        batch, method=VLPModel.init_all)
     return variables["params"]
 
 

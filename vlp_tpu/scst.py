@@ -1,0 +1,157 @@
+"""Self-critical sequence training (SCST).
+
+Parity with the reference SCST branch
+(/root/reference/vlp/run_img2txt_dist.py:486-523 and vlp/scst_utils.py):
+greedy rollout as the baseline, multinomial sampled rollout, reward =
+CIDEr(sample) - CIDEr(greedy) per example broadcast over timesteps, policy
+gradient via ``losses.scst_reward_loss``.
+
+TPU-first structure (the reference backprops through a python generation
+loop; that does not exist under jit):
+  1. sample a rollout with the jitted KV-cache decoder (no grad),
+  2. clean + score it on host (native CIDEr — the reference's per-token
+     EOS/pad cleanup loops become a vectorised mask),
+  3. re-run the rollout *forced* to the sampled ids inside
+     ``jax.value_and_grad`` — a differentiable ``lax.scan`` that yields the
+     same log-probs with a gradient path to the parameters (REINFORCE treats
+     the sampled ids as constants, so forcing is exact).
+
+Known deviation: the reference samples with dropout active (model.train(),
+run_img2txt_dist.py:505-507); rollouts here are deterministic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlp_tpu import losses as losses_lib
+from vlp_tpu.config import VLPConfig
+from vlp_tpu.decode import DecodeParams, Decoder
+from vlp_tpu.evals.cider import CiderScorer
+from vlp_tpu.models.model import VLPModel
+
+
+def clean_rollout(ids: np.ndarray, eos_id: int, pad_id: int) -> np.ndarray:
+    """Zero everything after the first EOS/PAD, keeping a terminating EOS
+    (run_img2txt_dist.py:497-515 semantics, vectorised)."""
+    ids = np.asarray(ids)
+    out = np.zeros_like(ids)
+    B, T = ids.shape
+    for b in range(B):
+        for t in range(T):
+            tok = ids[b, t]
+            if tok != eos_id and tok != pad_id:
+                out[b, t] = tok
+            else:
+                if tok == eos_id:
+                    out[b, t] = eos_id
+                break
+    return out
+
+
+def array_to_str(arr) -> str:
+    """Token-id serialisation stopping at 0 (scst_utils.py:27-33)."""
+    out = []
+    for x in arr:
+        out.append(str(int(x)))
+        if int(x) == 0:
+            break
+    return " ".join(out)
+
+
+def get_self_critical_reward(greedy_res: np.ndarray, gt_ids: np.ndarray,
+                             gen_result: np.ndarray) -> np.ndarray:
+    """CIDEr(sample) - CIDEr(greedy) broadcast over timesteps
+    (scst_utils.py:36-63)."""
+    B, T = np.asarray(gen_result).shape
+    res = {i: [array_to_str(gen_result[i])] for i in range(B)}
+    res.update({B + i: [array_to_str(greedy_res[i])] for i in range(B)})
+    gts = {i: [array_to_str(gt_ids[i])] for i in range(B)}
+    gts.update({B + i: [array_to_str(gt_ids[i])] for i in range(B)})
+    _, scores = CiderScorer().compute_score(gts, res)
+    scores = np.asarray(scores)
+    rewards = scores[:B] - scores[B:]
+    return np.repeat(rewards[:, None], T, axis=1).astype(np.float32)
+
+
+class SCSTTrainer:
+    """SCST loss + grads for one batch (optimizer applied by the caller)."""
+
+    def __init__(self, model: VLPModel, cfg: VLPConfig, *, mask_id: int,
+                 eos_id: int, pad_id: int = 0, max_tgt_length: int = 20):
+        self.cfg = cfg
+        self.model = model
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+        self.T = max_tgt_length
+        self.dp = DecodeParams(mask_id=mask_id, eos_id=eos_id, pad_id=pad_id,
+                               max_tgt_length=max_tgt_length)
+        self.decoder = Decoder(model, cfg, self.dp)
+        self._loss_grad = jax.jit(jax.value_and_grad(self._pg_loss,
+                                                     has_aux=True))
+
+    # -- differentiable forced rollout ------------------------------------
+    def _forced_logprobs(self, params, batch, forced_ids):
+        """Log-probs of ``forced_ids`` under the incremental decoder — same
+        computation as Decoder.sample but with the token choice pinned."""
+        cfg, dp = self.cfg, self.dp
+        prefix = cfg.prefix_len
+
+        hidden, ck, cv = self.model.apply(
+            {"params": params}, batch["input_ids"], batch["segment_ids"],
+            batch["position_ids"], batch["vis_feats"], batch["vis_pe"],
+            dp.mask_id, method=VLPModel.prefill)
+        logits0 = self.model.apply({"params": params}, hidden,
+                                   batch["task_idx"],
+                                   method=VLPModel.lm_logits)[:, 0, :]
+
+        def logp_of(logits, ids):
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            return jnp.take_along_axis(lp, ids[:, None], axis=1)[:, 0]
+
+        lp0 = logp_of(logits0, forced_ids[:, 0])
+
+        def body(carry, t):
+            ck, cv = carry
+            prev = jax.lax.dynamic_slice_in_dim(forced_ids, t, 1, axis=1)
+            hidden, ck, cv = self.model.apply(
+                {"params": params}, prev, batch["segment_ids"],
+                batch["position_ids"], ck, cv, prefix + t,
+                self.dp.mask_id, method=VLPModel.decode_step)
+            logits = self.model.apply(
+                {"params": params}, hidden, batch["task_idx"],
+                method=VLPModel.lm_logits)[:, 0, :]
+            nxt = forced_ids[:, jnp.minimum(t + 1, self.T - 1)]
+            return (ck, cv), logp_of(logits, nxt)
+
+        (_, _), lp_rest = jax.lax.scan(body, (ck, cv), jnp.arange(self.T - 1))
+        return jnp.concatenate([lp0[None], lp_rest], axis=0).T  # [B, T]
+
+    def _pg_loss(self, params, batch, gen_result, reward):
+        logprobs = self._forced_logprobs(params, batch, gen_result)
+        loss = losses_lib.scst_reward_loss(logprobs, gen_result, reward)
+        return loss, {"scst_loss": loss}
+
+    # -- public API --------------------------------------------------------
+    def rollouts(self, params, batch, rng):
+        greedy_ids, _ = self.decoder.greedy(params, batch)
+        sample_ids, _ = self.decoder.sample(params, batch, rng)
+        greedy = clean_rollout(np.asarray(greedy_ids), self.eos_id, self.pad_id)
+        sample = clean_rollout(np.asarray(sample_ids), self.eos_id, self.pad_id)
+        return greedy, sample
+
+    def loss_and_grads(self, params, batch, gt_ids: np.ndarray, rng):
+        """Returns (loss, grads, metrics).  ``gt_ids`` are the ground-truth
+        caption token ids [B, T] (input_ids[:, prefix:] in the reference,
+        run_img2txt_dist.py:517)."""
+        greedy, sample = self.rollouts(params, batch, rng)
+        reward = get_self_critical_reward(greedy, gt_ids, sample)
+        (loss, metrics), grads = self._loss_grad(
+            params, batch, jnp.asarray(sample), jnp.asarray(reward))
+        metrics = dict(metrics, mean_reward=float(reward[:, 0].mean()))
+        return loss, grads, metrics
