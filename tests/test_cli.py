@@ -1,0 +1,124 @@
+"""End-to-end CLI tests on CPU: train -> resume -> decode -> vqa -> scst,
+tiny model via --config_path, synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vlp_tpu.cli import common as cli_common
+from vlp_tpu.cli import decode as decode_cli
+from vlp_tpu.cli import eval_vqa2 as vqa_cli
+from vlp_tpu.cli import train as train_cli
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    vocab = str(d / "vocab.txt")
+    cli_common.write_synthetic_vocab(vocab, size=120)
+    cfg_json = str(d / "bert_config.json")
+    with open(cfg_json, "w") as f:
+        json.dump({"vocab_size": 120, "hidden_size": 32,
+                   "num_hidden_layers": 2, "num_attention_heads": 2,
+                   "intermediate_size": 64, "max_position_embeddings": 512,
+                   "vis_feat_dim": 24, "vis_cls_dim": 10, "vis_pe_dim": 16},
+                  f)
+    answers = str(d / "answers.txt")
+    with open(answers, "w") as f:
+        f.write("<unk>\nyes\nno\n1\n2\ncat\n")
+    return dict(dir=str(d), vocab=vocab, cfg=cfg_json, answers=answers)
+
+
+def base_train_args(fx, out, extra=()):
+    return ["--do_train", "--synthetic_data", "--enable_butd",
+            "--bert_model", fx["vocab"], "--config_path", fx["cfg"],
+            "--output_dir", out, "--train_batch_size", "4",
+            "--steps_per_epoch", "2", "--new_segment_ids",
+            "--relax_projection", "--len_vis_input", "6", "--max_len_b", "5",
+            "--max_pred", "3", "--s2s_prob", "0.75", "--bi_prob", "0.25",
+            "--learning_rate", "1e-3", *extra]
+
+
+class TestTrainCLI:
+    def test_train_and_resume(self, fixtures):
+        out = os.path.join(fixtures["dir"], "out_train")
+        state = train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "2"]))
+        assert os.path.isdir(os.path.join(out, "model.2"))
+        assert os.path.isdir(os.path.join(out, "optim.2"))
+        opts = json.load(open(os.path.join(out, "opt.json")))
+        assert opts["train_batch_size"] == 4
+        # resume: epoch 3 only
+        state2 = train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "3"]))
+        assert os.path.isdir(os.path.join(out, "model.3"))
+        log = open(os.path.join(out, "training.log")).read()
+        assert "Recover model: 2" in log
+
+    def test_vqa_train(self, fixtures):
+        out = os.path.join(fixtures["dir"], "out_vqa")
+        # vqa2 synthetic: ans_scores come from the builder's zero default
+        train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "1", "--tasks", "vqa2",
+                            "--answer_vocab_file", fixtures["answers"]]))
+        assert os.path.isdir(os.path.join(out, "model.1"))
+
+    def test_scst_train(self, fixtures):
+        out = os.path.join(fixtures["dir"], "out_scst")
+        train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "1", "--scst",
+                            "--max_pred", "0", "--mask_prob", "0",
+                            "--dataset", "coco", "--train_batch_size", "4",
+                            "--learning_rate", "1e-6"]))
+        assert os.path.isdir(os.path.join(out, "model.1"))
+
+
+class TestDecodeCLI:
+    def test_beam_decode_with_checkpoint(self, fixtures):
+        out = os.path.join(fixtures["dir"], "out_train")
+        if not os.path.isdir(os.path.join(out, "model.2")):
+            train_cli.main(base_train_args(
+                fixtures, out, ["--num_train_epochs", "2"]))
+        dec_out = os.path.join(fixtures["dir"], "dec")
+        decode_cli.main([
+            "--synthetic_data", "--enable_butd", "--bert_model",
+            fixtures["vocab"], "--config_path", fixtures["cfg"],
+            "--new_segment_ids", "--batch_size", "3", "--beam_size", "2",
+            "--length_penalty", "0.5", "--forbid_duplicate_ngrams",
+            "--min_len", "2", "--max_tgt_length", "5", "--len_vis_input",
+            "6", "--num_synthetic", "5",
+            "--model_recover_path", os.path.join(out, "model.2"),
+            "--output_dir", dec_out])
+        preds = json.load(open(os.path.join(
+            dec_out, "preds-model.2-val.json")))
+        assert len(preds) == 5
+        assert all("caption" in p for p in preds)
+
+    def test_greedy_decode_random_params(self, fixtures):
+        dec_out = os.path.join(fixtures["dir"], "dec2")
+        decode_cli.main([
+            "--synthetic_data", "--enable_butd", "--bert_model",
+            fixtures["vocab"], "--config_path", fixtures["cfg"],
+            "--new_segment_ids", "--batch_size", "2", "--beam_size", "1",
+            "--max_tgt_length", "4", "--len_vis_input", "6",
+            "--num_synthetic", "3", "--output_dir", dec_out])
+        preds = json.load(open(os.path.join(dec_out,
+                                            "preds-random-val.json")))
+        assert len(preds) == 3
+
+
+class TestVQACLI:
+    def test_eval(self, fixtures):
+        out = os.path.join(fixtures["dir"], "vqa_out")
+        vqa_cli.main([
+            "--synthetic_data", "--enable_butd", "--bert_model",
+            fixtures["vocab"], "--config_path", fixtures["cfg"],
+            "--new_segment_ids", "--batch_size", "3", "--len_vis_input", "6",
+            "--num_synthetic", "5", "--answer_vocab_file",
+            fixtures["answers"], "--output_dir", out])
+        preds = json.load(open(os.path.join(out,
+                                            "vqa2-results-random-val.json")))
+        assert len(preds) == 5
+        assert all(p["answer"] for p in preds)

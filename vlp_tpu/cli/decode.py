@@ -1,0 +1,182 @@
+"""Caption decoding CLI — flag-compatible rebuild of
+/root/reference/vlp/decode_img2txt.py: glob over checkpoints, batched beam
+(or greedy) decoding with the jitted KV-cache decoder, wordpiece detokenize,
+native language metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlp_tpu import checkpoint as ckpt
+from vlp_tpu.cli import common
+from vlp_tpu.cli.train import make_config, synthetic_examples
+from vlp_tpu.config import VLPConfig
+from vlp_tpu.data.dataset import load_eval_index
+from vlp_tpu.data.example_builder import DecodeExampleBuilder
+from vlp_tpu.data.features import make_store
+from vlp_tpu.data.loader import EvalLoader
+from vlp_tpu.data.tokenization import detokenize
+from vlp_tpu.decode import DecodeParams, Decoder
+from vlp_tpu.models.model import VLPModel
+from vlp_tpu.parallel import train_step as ts
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", default=None, type=str)
+    p.add_argument("--bert_model", default="bert-base-cased", type=str)
+    p.add_argument("--model_recover_path", default=None, type=str)
+    p.add_argument("--max_position_embeddings", type=int, default=512)
+    p.add_argument("--fp16", action="store_true")
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--do_lower_case", action="store_true")
+    p.add_argument("--new_segment_ids", action="store_true")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--beam_size", type=int, default=1)
+    p.add_argument("--length_penalty", type=float, default=0)
+    p.add_argument("--forbid_duplicate_ngrams", action="store_true")
+    p.add_argument("--forbid_ignore_word", type=str, default=None)
+    p.add_argument("--min_len", default=None, type=int)
+    p.add_argument("--ngram_size", type=int, default=3)
+    p.add_argument("--max_tgt_length", type=int, default=20)
+    p.add_argument("--src_file", default=None, type=str)
+    p.add_argument("--dataset", default="coco", type=str)
+    p.add_argument("--len_vis_input", type=int, default=100)
+    p.add_argument("--image_root", type=str, default="")
+    p.add_argument("--split", type=str, default="val")
+    p.add_argument("--drop_prob", default=0.1, type=float)
+    p.add_argument("--enable_butd", action="store_true")
+    p.add_argument("--region_bbox_file", default="", type=str)
+    p.add_argument("--region_det_file_prefix", default="", type=str)
+    p.add_argument("--file_valid_jpgs", default="", type=str)
+    p.add_argument("--ann_file", default="", type=str,
+                   help="caption annotations for metric eval (COCO or "
+                        "Karpathy json); empty = skip metrics")
+    p.add_argument("--output_dir", default="eval_results", type=str)
+    p.add_argument("--synthetic_data", action="store_true")
+    p.add_argument("--num_synthetic", type=int, default=16)
+    p.add_argument("--no_pallas", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.max_seq_length = args.max_tgt_length + args.len_vis_input + 3
+    # reuse the train-CLI config derivation (same defaults)
+    args.label_smoothing = 0
+    args.max_len_b = args.max_tgt_length
+    args.max_pred = 3
+    args.relax_projection = True
+    args.vis_mask_prob = 0
+
+    tokenizer = common.resolve_tokenizer(args.bert_model, args.do_lower_case,
+                                         args.max_seq_length)
+    cfg = make_config(args, vocab_size=len(tokenizer.vocab))
+    sp = tokenizer.vocab
+
+    forbid_ignore_ids = ()
+    if args.forbid_ignore_word:
+        w_list = []
+        for w in args.forbid_ignore_word.split("|"):
+            w_list.append(w.upper() if w.startswith("[") and w.endswith("]")
+                          else w)
+        forbid_ignore_ids = tuple(tokenizer.convert_tokens_to_ids(w_list))
+
+    if args.synthetic_data:
+        rng_np = np.random.default_rng(args.seed)
+        from vlp_tpu.data.dataset import CaptionExample
+        eval_list = [CaptionExample(f"synthetic_{i}.npy", [], image_id=i)
+                     for i in range(args.num_synthetic)]
+        store = make_store(synthetic=True, num_regions=cfg.len_vis_input,
+                           feat_dim=cfg.vis_feat_dim, cls_dim=cfg.vis_cls_dim)
+    else:
+        eval_list = load_eval_index(args.src_file, args.split,
+                                    args.image_root, args.dataset,
+                                    args.file_valid_jpgs)
+        store = make_store(args.region_det_file_prefix, args.region_bbox_file)
+
+    builder = DecodeExampleBuilder(cfg, tokenizer.vocab,
+                                   new_segment_ids=args.new_segment_ids,
+                                   max_tgt_length=args.max_tgt_length)
+    model = ts.create_model(cfg)
+    template = ts.init_params(model, cfg, jax.random.PRNGKey(args.seed))
+
+    dp = DecodeParams(
+        mask_id=sp["[MASK]"], eos_id=sp["[SEP]"], pad_id=sp["[PAD]"],
+        beam_size=args.beam_size, length_penalty=args.length_penalty,
+        forbid_duplicate_ngrams=args.forbid_duplicate_ngrams,
+        ngram_size=args.ngram_size, min_len=args.min_len or 0,
+        max_tgt_length=args.max_tgt_length,
+        forbid_ignore_ids=forbid_ignore_ids)
+    decoder = Decoder(model, cfg, dp)
+
+    all_stats = {}
+    paths = (glob.glob(args.model_recover_path.strip())
+             if args.model_recover_path else [None])
+    for model_recover_path in paths:
+        if model_recover_path:
+            print(f"***** Recover model: {model_recover_path} *****")
+            params = ckpt.load_model_checkpoint(model_recover_path, cfg,
+                                                template, task_idx=3)
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+        else:
+            params = template
+
+        loader = EvalLoader(eval_list, store, builder, args.batch_size)
+        output = {}
+        t0 = time.time()
+        n_done = 0
+        for batch, chunk, pad in loader:
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if args.beam_size > 1:
+                traces = decoder(params, jbatch)
+                out_ids = traces["pred_seq"]
+            else:
+                ids, _ = decoder.greedy(params, jbatch)
+                out_ids = np.asarray(ids)
+            for i, ex in enumerate(chunk):
+                toks = tokenizer.convert_ids_to_tokens(
+                    [int(x) for x in out_ids[i]])
+                words = []
+                for t in toks:
+                    if t in ("[SEP]", "[PAD]"):
+                        break
+                    words.append(t)
+                output[ex.image_id] = " ".join(detokenize(words))
+            n_done += len(chunk)
+        dt = time.time() - t0
+        print(f"decoded {n_done} images in {dt:.1f}s "
+              f"({n_done / max(dt, 1e-9):.1f} img/s)")
+
+        predictions = [{"image_id": iid, "caption": cap}
+                       for iid, cap in output.items()]
+        os.makedirs(args.output_dir, exist_ok=True)
+        tag = (os.path.basename(model_recover_path or "random")
+               .replace("/", "_"))
+        pred_file = os.path.join(args.output_dir,
+                                 f"preds-{tag}-{args.split}.json")
+        with open(pred_file, "w") as f:
+            json.dump(predictions, f)
+        print("predictions ->", pred_file)
+
+        if args.ann_file:
+            from vlp_tpu.evals.coco import language_eval
+            stats = language_eval(args.ann_file, predictions, tag, args.split,
+                                  args.output_dir)
+            print(json.dumps(stats, indent=2))
+            all_stats[tag] = stats
+    return all_stats
+
+
+if __name__ == "__main__":
+    main()

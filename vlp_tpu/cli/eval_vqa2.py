@@ -1,0 +1,154 @@
+"""VQA 2.0 evaluation CLI — rebuild of /root/reference/vlp/eval_vqa2.py:
+bi-mode pipeline with max_pred=0, batched ``vqa_inference`` argmax, native
+accuracy scoring (the reference shells out to pythia's legacy evaluator).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlp_tpu import checkpoint as ckpt
+from vlp_tpu.cli import common
+from vlp_tpu.cli.train import make_config
+from vlp_tpu.config import VLPConfig
+from vlp_tpu.data.dataset import CaptionExample, load_vqa_index
+from vlp_tpu.data.example_builder import TrainExampleBuilder, collate
+from vlp_tpu.data.features import make_store
+from vlp_tpu.models.model import VLPModel
+from vlp_tpu.parallel import train_step as ts
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bert_model", default="bert-base-cased", type=str)
+    p.add_argument("--model_recover_path", default=None, type=str)
+    p.add_argument("--fp16", action="store_true")
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--do_lower_case", action="store_true")
+    p.add_argument("--new_segment_ids", action="store_true")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--max_tgt_length", type=int, default=20)
+    p.add_argument("--src_file", default=None, type=str)
+    p.add_argument("--ref_file", default="", type=str,
+                   help="v2_mscoco_*_annotations.json for local scoring")
+    p.add_argument("--dataset", default="coco", type=str)
+    p.add_argument("--len_vis_input", type=int, default=100)
+    p.add_argument("--image_root", type=str, default="")
+    p.add_argument("--split", type=str, default="val")
+    p.add_argument("--drop_prob", default=0.1, type=float)
+    p.add_argument("--enable_butd", action="store_true")
+    p.add_argument("--region_bbox_file", default="", type=str)
+    p.add_argument("--region_det_file_prefix", default="", type=str)
+    p.add_argument("--output_dir", default="tmp", type=str)
+    p.add_argument("--answer_vocab_file", required=True, type=str)
+    p.add_argument("--synthetic_data", action="store_true")
+    p.add_argument("--num_synthetic", type=int, default=16)
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--config_path", default=None, type=str)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.max_seq_length = args.max_tgt_length + args.len_vis_input + 3
+    args.label_smoothing = 0
+    args.max_len_b = args.max_tgt_length
+    args.max_pred = 0
+    args.relax_projection = False
+    args.vis_mask_prob = 0
+    args.max_position_embeddings = 512
+
+    from vlp_tpu.evals.vqa import VQAAnswerProcessor, load_vqa_annotations, \
+        vqa_accuracy
+    tokenizer = common.resolve_tokenizer(args.bert_model, args.do_lower_case,
+                                         args.max_seq_length)
+    cfg = make_config(args, vocab_size=len(tokenizer.vocab))
+    ans_proc = VQAAnswerProcessor(args.answer_vocab_file)
+    cfg = cfg.replace(num_answers=len(ans_proc))
+
+    if args.synthetic_data:
+        rng_np = np.random.default_rng(args.seed)
+        words = [w for w in tokenizer.vocab_words if not w.startswith("[")]
+        eval_list = []
+        for i in range(args.num_synthetic):
+            q = [words[rng_np.integers(0, len(words))] for _ in range(6)]
+            ex = CaptionExample(f"synthetic_{i}.npy", q, image_id=i)
+            ex.question_id = i
+            eval_list.append(ex)
+        store = make_store(synthetic=True, num_regions=cfg.len_vis_input,
+                           feat_dim=cfg.vis_feat_dim, cls_dim=cfg.vis_cls_dim)
+    else:
+        eval_list = load_vqa_index([args.src_file], tokenizer,
+                                   args.image_root)
+        for i, ex in enumerate(eval_list):
+            ex.question_id = getattr(ex, "question_id", i)
+        store = make_store(args.region_det_file_prefix, args.region_bbox_file)
+
+    # bi-mode, max_pred=0, always_truncate_tail (eval_vqa2.py:138-144)
+    builder = TrainExampleBuilder(
+        cfg.replace(max_pred=1), tokenizer.vocab, mode="bi", mask_prob=0.0,
+        new_segment_ids=args.new_segment_ids, always_truncate_tail=True,
+        load_vqa_ann=True)
+
+    model = ts.create_model(cfg, task="vqa2")
+    template = ts.init_params(model, cfg, jax.random.PRNGKey(args.seed),
+                              task="vqa2")
+    infer = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b, method=VLPModel.vqa_inference))
+
+    for model_recover_path in (glob.glob(args.model_recover_path.strip())
+                               if args.model_recover_path else [None]):
+        if model_recover_path:
+            print(f"***** Recover model: {model_recover_path} *****")
+            params = ckpt.load_model_checkpoint(model_recover_path, cfg,
+                                                template, task_idx=0)
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+        else:
+            params = template
+
+        predictions = []
+        rng_np = np.random.default_rng(args.seed)
+        B = args.batch_size
+        for lo in range(0, len(eval_list), B):
+            chunk = eval_list[lo:lo + B]
+            exs = []
+            for ex in chunk:
+                feat, pe = store.get(ex.feature_key)
+                exs.append(builder(ex.tokens, feat, pe, rng_np))
+            pad = B - len(exs)
+            exs += [exs[-1]] * pad
+            batch = {k: jnp.asarray(v) for k, v in collate(exs).items()}
+            ans_idx = np.asarray(infer(params, batch))
+            for i, ex in enumerate(chunk):
+                predictions.append({
+                    "question_id": getattr(ex, "question_id", lo + i),
+                    "answer": ans_proc.idx2word(ans_idx[i])})
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        tag = os.path.basename(model_recover_path or "random")
+        results_file = os.path.join(
+            args.output_dir, f"vqa2-results-{tag}-{args.split}.json")
+        with open(results_file, "w") as f:
+            json.dump(predictions, f)
+        print("predictions ->", results_file)
+
+        if args.split == "test2015":
+            print("[WARNING] test split: submit", results_file,
+                  "to the EvalAI VQA 2.0 server")
+        elif args.ref_file:
+            anns = load_vqa_annotations(args.ref_file)
+            stats = vqa_accuracy(predictions, anns)
+            print(json.dumps(stats, indent=2))
+            return stats
+    return None
+
+
+if __name__ == "__main__":
+    main()

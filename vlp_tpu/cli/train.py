@@ -1,0 +1,317 @@
+"""Training CLI — flag-compatible rebuild of the reference trainer
+(/root/reference/vlp/run_img2txt_dist.py).
+
+One entry point covers CC pretraining, COCO/Flickr30k caption fine-tuning,
+VQA2 fine-tuning and SCST (selected by --tasks / --s2s_prob / --bi_prob /
+--scst), as upstream.  TPU replacements:
+  * torch DDP/NCCL -> jitted train step; multi-device via shard_map data
+    parallelism over a jax Mesh (gradient psum on ICI); multi-host sharding
+    comes from the loader's process_index split
+  * apex fp16 + dynamic loss scaling -> bf16 activations / fp32 params
+    (no loss scaling needed); --fp16 flag maps to bf16
+  * torch.save epoch checkpoints -> orbax (model.N + optim.N), with
+    --model_recover_path accepting reference .bin files via the converter
+
+Extra flags beyond the reference: --synthetic_data (fixture-free smoke
+runs), --steps_per_epoch (bounds synthetic epochs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlp_tpu import checkpoint as ckpt
+from vlp_tpu import optim as optim_lib
+from vlp_tpu.cli import common
+from vlp_tpu.config import VLPConfig
+from vlp_tpu.data.dataset import (CaptionExample, load_karpathy_index,
+                                  load_vqa_index)
+from vlp_tpu.data.example_builder import TrainExampleBuilder
+from vlp_tpu.data.features import make_store
+from vlp_tpu.data.loader import TrainLoader
+from vlp_tpu.data.tokenization import WhitespaceTokenizer
+from vlp_tpu.models.model import VLPModel
+from vlp_tpu.parallel import train_step as ts
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # general (run_img2txt_dist.py:46-146)
+    p.add_argument("--bert_model", default="bert-base-cased", type=str,
+                   help="local vocab.txt path (or dir containing one)")
+    p.add_argument("--config_path", default=None, type=str)
+    p.add_argument("--output_dir", default="tmp", type=str)
+    p.add_argument("--log_file", default="training.log", type=str)
+    p.add_argument("--model_recover_path", default=None, type=str)
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_lower_case", action="store_true")
+    p.add_argument("--train_batch_size", default=64, type=int)
+    p.add_argument("--learning_rate", default=3e-5, type=float)
+    p.add_argument("--label_smoothing", default=0, type=float)
+    p.add_argument("--weight_decay", default=0.01, type=float)
+    p.add_argument("--num_train_epochs", default=30, type=int)
+    p.add_argument("--warmup_proportion", default=0.1, type=float)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--fp16", action="store_true",
+                   help="bf16 activations on TPU (fp32 otherwise)")
+    p.add_argument("--fp32_embedding", action="store_true")
+    p.add_argument("--from_scratch", action="store_true")
+    p.add_argument("--new_segment_ids", action="store_true")
+    p.add_argument("--tokenized_input", action="store_true")
+    p.add_argument("--len_vis_input", type=int, default=100)
+    p.add_argument("--max_len_b", type=int, default=20)
+    p.add_argument("--trunc_seg", default="b")
+    p.add_argument("--always_truncate_tail", action="store_true")
+    p.add_argument("--mask_prob", default=0.15, type=float)
+    p.add_argument("--max_pred", type=int, default=3)
+    p.add_argument("--num_workers", default=4, type=int)
+    p.add_argument("--max_position_embeddings", type=int, default=None)
+    # VLP (run_img2txt_dist.py:148-187)
+    p.add_argument("--src_file", default=None, type=str, nargs="+")
+    p.add_argument("--image_root", type=str, default="")
+    p.add_argument("--dataset", default="coco", type=str)
+    p.add_argument("--split", type=str, nargs="+", default=["train", "restval"])
+    p.add_argument("--world_size", default=1, type=int,
+                   help="unused on TPU (mesh-derived); kept for CLI parity")
+    p.add_argument("--file_valid_jpgs", default="", type=str)
+    p.add_argument("--sche_mode", default="warmup_linear", type=str)
+    p.add_argument("--drop_prob", default=0.1, type=float)
+    p.add_argument("--use_num_imgs", default=-1, type=int)
+    p.add_argument("--vis_mask_prob", default=0, type=float)
+    p.add_argument("--max_drop_worst_ratio", default=0, type=float)
+    p.add_argument("--drop_after", default=6, type=int)
+    p.add_argument("--s2s_prob", default=1, type=float)
+    p.add_argument("--bi_prob", default=0, type=float)
+    p.add_argument("--enable_butd", action="store_true")
+    p.add_argument("--region_bbox_file", default="", type=str)
+    p.add_argument("--region_det_file_prefix", default="", type=str)
+    p.add_argument("--tasks", default="img2txt", choices=("img2txt", "vqa2"))
+    p.add_argument("--relax_projection", action="store_true")
+    p.add_argument("--scst", action="store_true")
+    p.add_argument("--answer_vocab_file", default="", type=str)
+    # TPU-specific
+    p.add_argument("--synthetic_data", action="store_true",
+                   help="synthetic features + captions (smoke/bench)")
+    p.add_argument("--steps_per_epoch", type=int, default=0,
+                   help="cap steps per epoch (0 = full epoch)")
+    p.add_argument("--no_pallas", action="store_true")
+    return p
+
+
+def make_config(args, vocab_size: int) -> VLPConfig:
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = VLPConfig(
+        vocab_size=vocab_size,
+        type_vocab_size=6 if args.new_segment_ids else 2,
+        relax_projection=4 if args.relax_projection else 0,
+        label_smoothing=args.label_smoothing,
+        hidden_dropout_prob=args.drop_prob,
+        attention_probs_dropout_prob=args.drop_prob,
+        len_vis_input=args.len_vis_input,
+        max_len_b=args.max_len_b,
+        max_pred=args.max_pred,
+        dtype="bfloat16" if (args.fp16 or on_tpu) else "float32",
+        use_pallas_attention=(on_tpu and not args.no_pallas),
+    )
+    if args.max_position_embeddings:
+        cfg = cfg.replace(max_position_embeddings=args.max_position_embeddings)
+    if args.config_path:
+        cfg = VLPConfig.from_reference_json(
+            args.config_path, **{k: getattr(cfg, k) for k in (
+                "type_vocab_size", "relax_projection", "label_smoothing",
+                "len_vis_input", "max_len_b", "max_pred", "dtype",
+                "use_pallas_attention")})
+    return cfg
+
+
+def synthetic_examples(n, tokenizer, rng):
+    words = [w for w in tokenizer.vocab_words if not w.startswith("[")]
+    out = []
+    for i in range(n):
+        k = rng.integers(3, 12)
+        toks = [words[rng.integers(0, len(words))] for _ in range(k)]
+        out.append(CaptionExample(f"synthetic_{i}.npy", toks, image_id=i))
+    return out
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    assert args.s2s_prob + args.bi_prob == 1.0
+    args.max_seq_length = args.max_len_b + args.len_vis_input + 3
+    args.mask_image_regions = args.vis_mask_prob > 0
+    if args.scst:
+        assert args.dataset == "coco", "scst support on coco only!"
+        assert args.max_pred == 0 and args.mask_prob == 0, "no mask for scst!"
+
+    logger = common.setup_logging(args.output_dir, args.log_file)
+    common.dump_opts(args, args.output_dir)
+    tokenizer = common.resolve_tokenizer(args.bert_model, args.do_lower_case,
+                                         args.max_position_embeddings)
+    data_tokenizer = (WhitespaceTokenizer() if args.tokenized_input
+                      else tokenizer)
+    cfg = make_config(args, vocab_size=len(tokenizer.vocab))
+    rng_np = np.random.default_rng(args.seed)
+
+    # ---- data ------------------------------------------------------------
+    ans_proc = None
+    if args.tasks == "vqa2":
+        from vlp_tpu.evals.vqa import VQAAnswerProcessor
+        assert args.answer_vocab_file, "--answer_vocab_file required for vqa2"
+        ans_proc = VQAAnswerProcessor(args.answer_vocab_file)
+        cfg = cfg.replace(num_answers=len(ans_proc))
+
+    if args.synthetic_data:
+        examples = synthetic_examples(
+            max(args.train_batch_size * max(args.steps_per_epoch, 4), 64),
+            tokenizer, rng_np)
+        store = make_store(synthetic=True, num_regions=cfg.len_vis_input,
+                           feat_dim=cfg.vis_feat_dim,
+                           cls_dim=cfg.vis_cls_dim)
+    else:
+        store = make_store(args.region_det_file_prefix, args.region_bbox_file)
+        if args.tasks == "vqa2":
+            examples = load_vqa_index(args.src_file, data_tokenizer,
+                                      args.image_root, args.use_num_imgs)
+            for ex in examples:
+                ex.ans_scores = ans_proc.answers_scores(ex.answers)
+        else:
+            assert len(args.src_file) == 1
+            examples = load_karpathy_index(
+                args.src_file[0], args.split, data_tokenizer,
+                args.image_root, args.file_valid_jpgs, args.use_num_imgs,
+                args.dataset)
+
+    builder_kw = dict(
+        mask_prob=args.mask_prob, vis_mask_prob=args.vis_mask_prob,
+        new_segment_ids=args.new_segment_ids,
+        always_truncate_tail=args.always_truncate_tail,
+        load_vqa_ann=(args.tasks == "vqa2"))
+    builders = [TrainExampleBuilder(cfg, tokenizer.vocab, mode="s2s",
+                                    **builder_kw),
+                TrainExampleBuilder(cfg, tokenizer.vocab, mode="bi",
+                                    **builder_kw)]
+    micro = args.train_batch_size // args.gradient_accumulation_steps
+    loader = TrainLoader(
+        examples, store, builders, [args.s2s_prob, args.bi_prob],
+        batch_size=args.train_batch_size, num_workers=args.num_workers,
+        seed=args.seed, process_index=jax.process_index(),
+        process_count=jax.process_count())
+    steps_per_epoch = len(loader)
+    if args.steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
+    t_total = steps_per_epoch * args.num_train_epochs
+
+    # ---- model / state ---------------------------------------------------
+    model = ts.create_model(cfg, args.tasks)
+    state, tx = ts.create_train_state(
+        model, cfg, jax.random.PRNGKey(args.seed), lr=args.learning_rate,
+        warmup=args.warmup_proportion, t_total=t_total,
+        schedule=args.sche_mode, task=args.tasks)
+
+    recover_step = ckpt.get_max_epoch_model(args.output_dir)
+    start_epoch = 1
+    if recover_step:
+        logger.info("***** Recover model: %d *****", recover_step)
+        params = ckpt.restore_params(
+            os.path.join(args.output_dir, f"model.{recover_step}"),
+            state.params)
+        opt = ckpt.restore_optimizer(
+            os.path.join(args.output_dir, f"optim.{recover_step}"),
+            state.opt_state)
+        state = state._replace(
+            params=params,
+            opt_state=state.opt_state._replace(
+                m=opt["m"], v=opt["v"], step=jnp.asarray(opt["step"])),
+            step=jnp.asarray(opt["step"]))
+        start_epoch = recover_step + 1
+    elif args.model_recover_path:
+        logger.info("***** Recover model: %s *****", args.model_recover_path)
+        task_idx = 3 if args.tasks == "img2txt" else 0
+        params = ckpt.load_model_checkpoint(
+            args.model_recover_path, cfg, state.params, task_idx)
+        state = state._replace(params=jax.tree_util.tree_map(
+            jnp.asarray, params))
+
+    # ---- training --------------------------------------------------------
+    scst_trainer = None
+    if args.scst:
+        from vlp_tpu.scst import SCSTTrainer
+        sp = tokenizer.vocab
+        scst_trainer = SCSTTrainer(
+            model, cfg, mask_id=sp["[MASK]"], eos_id=sp["[SEP]"],
+            pad_id=sp["[PAD]"], max_tgt_length=cfg.max_len_b)
+        scst_update = jax.jit(
+            lambda st, grads: _apply(tx, st, grads))
+    else:
+        step_fn = jax.jit(ts.make_train_step(
+            model, tx, mask_image_regions=args.mask_image_regions,
+            task=args.tasks, grad_accum=args.gradient_accumulation_steps))
+
+    if args.do_train:
+        logger.info("***** Running training *****")
+        logger.info("  Batch size = %d  Num steps = %d", args.train_batch_size,
+                    t_total)
+        global_rng = jax.random.PRNGKey(args.seed + 1)
+        for i_epoch in range(start_epoch, args.num_train_epochs + 1):
+            losses = []
+            t_ep = time.time()
+            for step_i, batch in enumerate(loader.epoch(i_epoch - 1)):
+                if args.steps_per_epoch and step_i >= args.steps_per_epoch:
+                    break
+                rng = jax.random.fold_in(global_rng, i_epoch * 100000 + step_i)
+                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if args.scst:
+                    prefix = cfg.prefix_len
+                    dec_batch = _scst_decode_batch(jbatch, cfg)
+                    gt = np.asarray(batch["input_ids"][:,
+                                    prefix:prefix + cfg.max_len_b])
+                    loss, grads, m = scst_trainer.loss_and_grads(
+                        state.params, dec_batch, gt, rng)
+                    state = scst_update(state, grads)
+                    metrics = {"loss": loss, **m}
+                else:
+                    ratio = (args.max_drop_worst_ratio
+                             if i_epoch > args.drop_after else 0.0)
+                    state, metrics = step_fn(state, jbatch, rng, ratio)
+                losses.append(float(metrics["loss"]))
+                if step_i % 100 == 0:
+                    logger.info("Epoch %d, Iter %d, Loss %.2f", i_epoch,
+                                step_i, float(np.mean(losses)))
+            logger.info("Epoch %d done in %.1fs, mean loss %.4f", i_epoch,
+                        time.time() - t_ep, float(np.mean(losses)))
+            if jax.process_index() == 0:
+                ckpt.save_checkpoint(args.output_dir, i_epoch, state)
+    return state
+
+
+def _apply(tx, state, grads):
+    import optax
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    return state._replace(params=optax.apply_updates(state.params, updates),
+                          opt_state=new_opt, step=state.step + 1)
+
+
+def _scst_decode_batch(jbatch, cfg):
+    """Adapt a training batch into the decoder's prompt batch
+    (run_img2txt_dist.py:488-496: dummy prompt + position ids)."""
+    B, L = jbatch["input_ids"].shape
+    return dict(
+        input_ids=jbatch["input_ids"][:, :cfg.prefix_len],
+        segment_ids=jbatch["segment_ids"],
+        position_ids=jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (B, L)),
+        task_idx=jbatch["task_idx"],
+        vis_feats=jbatch["vis_feats"],
+        vis_pe=jbatch["vis_pe"],
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""Python binding (ctypes) for the native packed feature store.
+
+``PackedFeatureStore`` is the fast-path replacement for ``H5FeatureStore``:
+one mmap'ed file, an in-memory key index, threaded batch gathers, and the
+geometry featurization fused in C++ (vlpstore.cpp).  ``pack_store`` writes
+the format from any python store (h5/npy/synthetic) once, offline.
+
+Falls back with a clear error if the shared library hasn't been built
+(``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                         "libvlpstore.so")
+_MAGIC = b"VLPS"
+_VERSION = 1
+_HEADER_FMT = "<4sIQIIIIII"  # magic, ver, n, regions, feat, cls, bbox, keylen, pad
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+assert _HEADER_SIZE == 40
+
+
+def _load_lib(build: bool = True):
+    path = os.path.abspath(_LIB_PATH)
+    if not os.path.isfile(path) and build:
+        subprocess.run(["make", "-C", os.path.dirname(path)], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(path)
+    lib.vlps_open.restype = ctypes.c_void_p
+    lib.vlps_open.argtypes = [ctypes.c_char_p]
+    lib.vlps_close.argtypes = [ctypes.c_void_p]
+    lib.vlps_meta.argtypes = [ctypes.c_void_p,
+                              ctypes.POINTER(ctypes.c_uint64)]
+    lib.vlps_find.restype = ctypes.c_int64
+    lib.vlps_find.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.vlps_get.restype = ctypes.c_int
+    lib.vlps_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p, f32p, f32p,
+                             f32p]
+    lib.vlps_batch_get.restype = ctypes.c_int
+    lib.vlps_batch_get.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int,
+                                   f32p, f32p, f32p, ctypes.c_int]
+    lib.vlps_batch_featurize.restype = ctypes.c_int
+    lib.vlps_batch_featurize.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int,
+                                         f32p, f32p, ctypes.c_int]
+    return lib
+
+
+def pack_store(out_path: str, keys: Sequence[str], records,
+               n_regions: int = 100, feat_dim: int = 2048,
+               cls_dim: int = 1601, bbox_dim: int = 6,
+               key_len: int = 64) -> None:
+    """Write the packed file.  ``records`` maps key ->
+    (feat [nr, feat], cls [nr, cls], bbox [nr, bbox]) — a dict or a callable.
+    """
+    get = records.__getitem__ if hasattr(records, "__getitem__") else records
+    with open(out_path, "wb") as f:
+        f.write(struct.pack(_HEADER_FMT, _MAGIC, _VERSION, len(keys),
+                            n_regions, feat_dim, cls_dim, bbox_dim,
+                            key_len, 0))
+        for k in keys:
+            kb = k.encode()[:key_len]
+            f.write(kb + b"\x00" * (key_len - len(kb)))
+        for k in keys:
+            feat, cls, bbox = get(k)
+            assert feat.shape == (n_regions, feat_dim)
+            assert cls.shape == (n_regions, cls_dim)
+            assert bbox.shape == (n_regions, bbox_dim)
+            f.write(np.ascontiguousarray(feat, np.float32).tobytes())
+            f.write(np.ascontiguousarray(cls, np.float32).tobytes())
+            f.write(np.ascontiguousarray(bbox, np.float32).tobytes())
+
+
+class PackedFeatureStore:
+    """Store API-compatible with features.H5FeatureStore (get -> (feat, pe))
+    plus fast batched access."""
+
+    def __init__(self, path: str, n_threads: Optional[int] = None):
+        if n_threads is None:
+            n_threads = min(8, os.cpu_count() or 1)
+        self.lib = _load_lib()
+        self.handle = self.lib.vlps_open(path.encode())
+        if not self.handle:
+            raise OSError(f"vlps_open failed for {path}")
+        meta = (ctypes.c_uint64 * 6)()
+        self.lib.vlps_meta(self.handle, meta)
+        (self.n_records, self.n_regions, self.feat_dim, self.cls_dim,
+         self.bbox_dim, self.key_len) = [int(x) for x in meta]
+        self.pe_dim = 6 + self.cls_dim
+        self.n_threads = n_threads
+
+    def close(self):
+        if getattr(self, "handle", None):
+            self.lib.vlps_close(self.handle)
+            self.handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    @staticmethod
+    def _key(key: str) -> str:
+        return key.split("/")[-1].split(".")[0]
+
+    def find(self, key: str) -> int:
+        return int(self.lib.vlps_find(self.handle, self._key(key).encode()))
+
+    def get(self, key: str) -> Tuple[np.ndarray, np.ndarray]:
+        idx = np.asarray([self.find(key)], np.int64)
+        if idx[0] < 0:
+            raise KeyError(key)
+        feat = np.empty((1, self.n_regions * self.feat_dim), np.float32)
+        pe = np.empty((1, self.n_regions * self.pe_dim), np.float32)
+        rc = self.lib.vlps_batch_featurize(self.handle, idx, 1, feat, pe, 1)
+        if rc != 0:
+            raise KeyError(key)
+        return (feat.reshape(self.n_regions, self.feat_dim),
+                pe.reshape(self.n_regions, self.pe_dim))
+
+    def batch_get(self, keys: Sequence[str]
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """Threaded gather + fused featurization for a whole batch."""
+        n = len(keys)
+        idx = np.asarray([self.find(k) for k in keys], np.int64)
+        if (idx < 0).any():
+            missing = [k for k, i in zip(keys, idx) if i < 0]
+            raise KeyError(f"missing keys: {missing[:5]}")
+        feat = np.empty((n, self.n_regions * self.feat_dim), np.float32)
+        pe = np.empty((n, self.n_regions * self.pe_dim), np.float32)
+        rc = self.lib.vlps_batch_featurize(self.handle, idx, n, feat, pe,
+                                           self.n_threads)
+        if rc != 0:
+            raise RuntimeError("vlps_batch_featurize failed")
+        return (feat.reshape(n, self.n_regions, self.feat_dim),
+                pe.reshape(n, self.n_regions, self.pe_dim))
+
+    def raw(self, key: str):
+        """(feat, cls, bbox) raw arrays — for repacking/debugging."""
+        feat = np.empty((self.n_regions, self.feat_dim), np.float32)
+        cls = np.empty((self.n_regions, self.cls_dim), np.float32)
+        bbox = np.empty((self.n_regions, self.bbox_dim), np.float32)
+        rc = self.lib.vlps_get(self.handle, self._key(key).encode(), feat,
+                               cls, bbox)
+        if rc != 0:
+            raise KeyError(key)
+        return feat, cls, bbox
+
+
+def pack_from_h5(out_path: str, region_det_file_prefix: str,
+                 region_bbox_file: str, keys: Sequence[str], **kw):
+    """Offline conversion: reference h5 shards -> packed store."""
+    import h5py
+
+    handles = {}
+
+    def get(key):
+        img_id = key.split("/")[-1].split(".")[0]
+        shard = img_id[-3:]
+        for name, path in (("f", f"{region_det_file_prefix}_feat{shard}.h5"),
+                           ("c", f"{region_det_file_prefix}_cls{shard}.h5"),
+                           ("b", region_bbox_file)):
+            if path not in handles:
+                handles[path] = h5py.File(path, "r")
+        feat = np.asarray(
+            handles[f"{region_det_file_prefix}_feat{shard}.h5"][img_id],
+            np.float32)
+        cls = np.asarray(
+            handles[f"{region_det_file_prefix}_cls{shard}.h5"][img_id],
+            np.float32)
+        bbox = np.asarray(handles[region_bbox_file][img_id], np.float32)
+        return feat, cls, bbox
+
+    ids = [k.split("/")[-1].split(".")[0] for k in keys]
+    pack_store(out_path, ids, lambda k: get(k), **kw)
