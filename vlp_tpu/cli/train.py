@@ -19,6 +19,7 @@ runs), --steps_per_epoch (bounds synthetic epochs).
 from __future__ import annotations
 
 import argparse
+import json
 import math
 import os
 import time
@@ -103,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_epoch", type=int, default=0,
                    help="cap steps per epoch (0 = full epoch)")
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--finetune_decay", action="store_true",
+                   help="weight-decay toward the recovered initial weights "
+                        "(reference BertAdamFineTune)")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of N steps into "
+                        "output_dir/profile (replaces the reference's "
+                        "visdom-only observability)")
     return p
 
 
@@ -215,6 +223,7 @@ def main(argv=None):
         model, cfg, jax.random.PRNGKey(args.seed), lr=args.learning_rate,
         warmup=args.warmup_proportion, t_total=t_total,
         schedule=args.sche_mode, task=args.tasks)
+    metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
 
     recover_step = ckpt.get_max_epoch_model(args.output_dir)
     start_epoch = 1
@@ -239,6 +248,15 @@ def main(argv=None):
             args.model_recover_path, cfg, state.params, task_idx)
         state = state._replace(params=jax.tree_util.tree_map(
             jnp.asarray, params))
+        if args.finetune_decay:
+            # decay toward the recovered weights (BertAdamFineTune,
+            # reference optimization.py:185-283 + --finetune_decay flag)
+            tx = optim_lib.bert_adam_finetune(
+                args.learning_rate, init_params=state.params,
+                missing_key_substrings=("vis_fc", "vis_pe_fc", "ans_fc"),
+                warmup=args.warmup_proportion, t_total=t_total,
+                schedule=args.sche_mode, weight_decay=args.weight_decay)
+            state = state._replace(opt_state=tx.init(state.params))
 
     # ---- training --------------------------------------------------------
     scst_trainer = None
@@ -260,6 +278,8 @@ def main(argv=None):
         logger.info("  Batch size = %d  Num steps = %d", args.train_batch_size,
                     t_total)
         global_rng = jax.random.PRNGKey(args.seed + 1)
+        metrics_f = open(metrics_path, "a")
+        profiling = False
         for i_epoch in range(start_epoch, args.num_train_epochs + 1):
             losses = []
             t_ep = time.time()
@@ -281,14 +301,37 @@ def main(argv=None):
                     ratio = (args.max_drop_worst_ratio
                              if i_epoch > args.drop_after else 0.0)
                     state, metrics = step_fn(state, jbatch, rng, ratio)
+                if args.profile_steps and i_epoch == start_epoch:
+                    # trace a few steady-state steps (skip compile at step 0)
+                    if step_i == 1 and not profiling:
+                        jax.profiler.start_trace(
+                            os.path.join(args.output_dir, "profile"))
+                        profiling = True
+                    elif profiling and step_i == 1 + args.profile_steps:
+                        jax.profiler.stop_trace()
+                        profiling = False
                 losses.append(float(metrics["loss"]))
                 if step_i % 100 == 0:
                     logger.info("Epoch %d, Iter %d, Loss %.2f", i_epoch,
                                 step_i, float(np.mean(losses)))
+                    record = {"epoch": i_epoch, "step": step_i,
+                              "time": time.time()}
+                    record.update({k: float(v) for k, v in metrics.items()})
+                    metrics_f.write(json.dumps(record) + "\n")
+                    metrics_f.flush()
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
             logger.info("Epoch %d done in %.1fs, mean loss %.4f", i_epoch,
                         time.time() - t_ep, float(np.mean(losses)))
             if jax.process_index() == 0:
                 ckpt.save_checkpoint(args.output_dir, i_epoch, state)
+            if jax.process_count() > 1:
+                # epoch barrier (reference torch.distributed.barrier,
+                # run_img2txt_dist.py:604-605)
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices(f"epoch_{i_epoch}")
+        metrics_f.close()
     return state
 
 

@@ -122,3 +122,140 @@ def bert_adam(lr: float, *, warmup: float = -1.0, t_total: int = -1,
         return updates, BertAdamState(step=state.step + 1, m=new_m, v=new_v)
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def bert_adam_finetune(lr: float, *, init_params, missing_key_substrings=(),
+                       warmup: float = -1.0, t_total: int = -1,
+                       schedule: str = "warmup_linear", b1: float = 0.9,
+                       b2: float = 0.999, eps: float = 1e-6,
+                       weight_decay: float = 0.01, max_grad_norm: float = 1.0,
+                       weight_decay_mask=None) -> optax.GradientTransformation:
+    """Fine-tune-anchored BertAdam (reference BertAdamFineTune,
+    optimization.py:185-283): the decay term becomes
+    ``wd * (2*p - p_init)`` — decaying toward the initial weights instead of
+    zero.  Parameters whose path contains any of ``missing_key_substrings``
+    (freshly initialized heads, reference optimization.py:196-201) use a
+    zeroed anchor, i.e. plain decay.
+    """
+    sched = SCHEDULES[schedule]
+
+    def _anchor(path, leaf):
+        names = "/".join(p.key for p in path if hasattr(p, "key"))
+        if any(mk in names for mk in missing_key_substrings):
+            return jnp.zeros_like(leaf, dtype=jnp.float32)
+        return jnp.asarray(leaf, jnp.float32)
+
+    anchors = jax.tree_util.tree_map_with_path(_anchor, init_params)
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+        return BertAdamState(step=jnp.zeros((), jnp.int32), m=zeros,
+                             v=jax.tree_util.tree_map(jnp.copy, zeros))
+
+    def update_fn(grads, state, params):
+        assert params is not None
+        mask = (weight_decay_mask if weight_decay_mask is not None
+                else default_weight_decay_mask(params))
+
+        def clip(g):
+            g32 = g.astype(jnp.float32)
+            if max_grad_norm <= 0:
+                return g32
+            norm = jnp.sqrt(jnp.sum(g32 * g32))
+            scale = jnp.where(norm > max_grad_norm,
+                              max_grad_norm / (norm + 1e-6), 1.0)
+            return g32 * scale
+
+        grads = jax.tree_util.tree_map(clip, grads)
+        new_m = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.m, grads)
+        new_v = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.v, grads)
+        if t_total > 0 and warmup >= 0:
+            lr_t = lr * sched(state.step.astype(jnp.float32) / t_total, warmup)
+        else:
+            lr_t = jnp.asarray(lr, jnp.float32)
+
+        def upd(m, v, p, a, decay):
+            u = m / (jnp.sqrt(v) + eps)
+            if weight_decay > 0:
+                u = u + jnp.where(decay, weight_decay, 0.0) * (
+                    2.0 * p.astype(jnp.float32) - a)
+            return (-lr_t * u).astype(p.dtype)
+
+        updates = jax.tree_util.tree_map(upd, new_m, new_v, params, anchors,
+                                         mask)
+        return updates, BertAdamState(step=state.step + 1, m=new_m, v=new_v)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def load_opt_state_subset(opt_state: BertAdamState, saved_m, saved_v,
+                          saved_step=None) -> BertAdamState:
+    """Partial optimizer-state recovery (reference
+    find_state_dict_subset_finetune, optimization.py:285-405 capability):
+    restore moments only for parameters present in the saved trees (matched
+    by path); new parameters keep fresh zeros."""
+    flat_saved_m = dict(jax.tree_util.tree_flatten_with_path(saved_m)[0])
+    flat_saved_v = dict(jax.tree_util.tree_flatten_with_path(saved_v)[0])
+
+    def merge(saved_flat):
+        def _leaf(path, cur):
+            got = saved_flat.get(path)
+            if got is not None and got.shape == cur.shape:
+                return jnp.asarray(got, cur.dtype)
+            return cur
+        return _leaf
+
+    new_m = jax.tree_util.tree_map_with_path(merge(flat_saved_m), opt_state.m)
+    new_v = jax.tree_util.tree_map_with_path(merge(flat_saved_v), opt_state.v)
+    step = (jnp.asarray(saved_step, jnp.int32) if saved_step is not None
+            else opt_state.step)
+    return BertAdamState(step=step, m=new_m, v=new_v)
+
+
+class DynamicLossScale:
+    """fp16-style dynamic loss scaling (reference FP16_Optimizer_State,
+    optimization_fp16.py:7-80 capability).
+
+    Unnecessary for bf16 TPU training (no scaling in the default path) but
+    provided for numerical parity experiments with fp16-like dtypes:
+    scale the loss, unscale grads, skip the update on non-finite grads and
+    halve the scale; double it after ``growth_interval`` good steps.
+    """
+
+    def __init__(self, init_scale: float = 2.0 ** 15,
+                 growth_interval: int = 2000, factor: float = 2.0):
+        self.init_scale = init_scale
+        self.growth_interval = growth_interval
+        self.factor = factor
+
+    def init(self):
+        return {"scale": jnp.float32(self.init_scale),
+                "good_steps": jnp.int32(0)}
+
+    def scale_loss(self, loss, state):
+        return loss * state["scale"]
+
+    def unscale_and_check(self, grads, state):
+        inv = 1.0 / state["scale"]
+        grads = jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.float32) * inv, grads)
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g))
+             for g in jax.tree_util.tree_leaves(grads)]))
+        return grads, finite
+
+    def update(self, state, finite):
+        scale = jnp.where(finite, state["scale"], state["scale"] / self.factor)
+        good = jnp.where(finite, state["good_steps"] + 1, 0)
+        grow = good >= self.growth_interval
+        scale = jnp.where(grow, scale * self.factor, scale)
+        good = jnp.where(grow, 0, good)
+        return {"scale": scale, "good_steps": good}
+
+    def apply_or_skip(self, finite, updates):
+        """Zero the updates when grads were non-finite (skip step)."""
+        return jax.tree_util.tree_map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
