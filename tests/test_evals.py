@@ -142,3 +142,28 @@ class TestVQA:
         assert 0 < out["number"] <= 100.0
         assert out["overall"] == pytest.approx(
             (out["yes/no"] + out["number"]) / 2)
+
+
+class TestMeteor:
+    def test_identity_high(self):
+        from vlp_tpu.evals.meteor import compute_meteor
+        gts = {0: ["a man rides a horse"]}
+        res = {0: ["a man rides a horse"]}
+        mean, _ = compute_meteor(gts, res)
+        assert mean > 0.95  # perfect match, single chunk
+
+    def test_stem_stage(self):
+        from vlp_tpu.evals.meteor import meteor_pair
+        # 'riding' vs 'rides' match via Porter stem
+        s = meteor_pair("a man riding".split(), "a man rides".split())
+        assert s > 0.8
+
+    def test_fragmentation_penalty(self):
+        from vlp_tpu.evals.meteor import meteor_pair
+        contiguous = meteor_pair("a b c d".split(), "a b c d".split())
+        scrambled = meteor_pair("d c b a".split(), "a b c d".split())
+        assert contiguous > scrambled > 0
+
+    def test_disjoint_zero(self):
+        from vlp_tpu.evals.meteor import meteor_pair
+        assert meteor_pair("x y".split(), "p q".split()) == 0.0

@@ -76,6 +76,9 @@ def language_eval(ann_file: str, preds: List[dict], model_id: str,
         out["CIDEr"] = cider
         rouge, rouge_img = compute_rouge(gts, res)
         out["ROUGE_L"] = rouge
+        from vlp_tpu.evals.meteor import compute_meteor
+        meteor, _ = compute_meteor(gts, res)
+        out["METEOR"] = meteor
         for j, k in enumerate(res):
             img_scores[k] = {"CIDEr": cider_img[j], "ROUGE_L": rouge_img[j],
                              "Bleu_4": bleu_img[j][3]}

@@ -83,7 +83,7 @@ def make_shard_map_step(model: VLPModel, tx: optax.GradientTransformation,
     """Data-parallel step via shard_map: params replicated, batch sharded over
     'data', grads pmean'd explicitly.  Pallas attention runs per-shard, so
     this path keeps the fused kernel in the multi-chip regime."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local_step(state, batch, rng, ratio):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
