@@ -178,3 +178,30 @@ class TestSCST:
         assert (r > 0).all()      # sample matches gt, greedy doesn't
         r2 = scst_lib.get_self_critical_reward(good, gt, bad)
         assert (r2 < 0).all()
+
+    def test_train_mode_forced_logprobs_replay_dropout(self, rng):
+        """Forced replay with the rollout's dropout key must reproduce the
+        train-mode (dropout-active) sampling rollout's log-probs exactly."""
+        import jax
+        import jax.numpy as jnp
+        cfg = tiny_cfg()
+        model = VLPModel(cfg)
+        params = ts.init_params(model, cfg, jax.random.PRNGKey(0))
+        builder = DecodeExampleBuilder(cfg, VOCAB,
+                                       max_tgt_length=cfg.max_len_b)
+        s = store(cfg)
+        batch = {k: jnp.asarray(v) for k, v in collate(
+            [builder(*s.get(f"i{j}")) for j in range(2)]).items()}
+        trainer = scst_lib.SCSTTrainer(
+            model, cfg, mask_id=VOCAB["[MASK]"], eos_id=VOCAB["[SEP]"],
+            max_tgt_length=cfg.max_len_b)
+        key = jax.random.PRNGKey(21)
+        ids, lps = trainer.decoder.sample(params, batch, key, train_mode=True)
+        _, drop_rng = jax.random.split(key)
+        forced = trainer._forced_logprobs(params, batch, jnp.asarray(ids),
+                                          drop_rng)
+        np.testing.assert_allclose(np.asarray(forced), np.asarray(lps),
+                                   rtol=1e-4, atol=1e-4)
+        # and WITHOUT the key the logprobs differ (dropout really active)
+        forced_det = trainer._forced_logprobs(params, batch, jnp.asarray(ids))
+        assert np.abs(np.asarray(forced_det) - np.asarray(lps)).max() > 1e-4

@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of N steps into "
                         "output_dir/profile (replaces the reference's "
                         "visdom-only observability)")
+    p.add_argument("--jax_distributed", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "pods (replaces the reference's file:// NCCL "
+                        "rendezvous; coordinator comes from the TPU env)")
     return p
 
 
@@ -159,6 +163,8 @@ def main(argv=None):
         assert args.dataset == "coco", "scst support on coco only!"
         assert args.max_pred == 0 and args.mask_prob == 0, "no mask for scst!"
 
+    if args.jax_distributed:
+        jax.distributed.initialize()
     logger = common.setup_logging(args.output_dir, args.log_file)
     common.dump_opts(args, args.output_dir)
     tokenizer = common.resolve_tokenizer(args.bert_model, args.do_lower_case,

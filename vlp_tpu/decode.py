@@ -77,22 +77,40 @@ class Decoder:
         self.cfg = cfg
         self.dp = dp
         self._greedy = jax.jit(functools.partial(self._run_greedy,
-                                                 sample=False))
+                                                 sample=False,
+                                                 train_mode=False))
         self._sample = jax.jit(functools.partial(self._run_greedy,
-                                                 sample=True))
+                                                 sample=True,
+                                                 train_mode=False))
+        self._sample_train = jax.jit(functools.partial(self._run_greedy,
+                                                       sample=True,
+                                                       train_mode=True))
         self._beam = jax.jit(self._run_beam)
 
     # -- shared primitives -------------------------------------------------
-    def _prefill(self, params, batch):
+    # ``dropout_rng`` enables train-mode rollouts (dropout active, as in the
+    # reference SCST sampled rollout, run_img2txt_dist.py:505-507).  The rng
+    # fold structure (prefill -> 0, step t -> t+1) is deterministic so a
+    # forced replay regenerates identical masks.
+    def _prefill(self, params, batch, dropout_rng=None):
+        kw = {}
+        if dropout_rng is not None:
+            kw = dict(rngs={"dropout": jax.random.fold_in(dropout_rng, 0)},
+                      deterministic=False)
         return self.model.apply(
             {"params": params}, batch["input_ids"], batch["segment_ids"],
             batch["position_ids"], batch["vis_feats"], batch["vis_pe"],
-            self.dp.mask_id, method=VLPModel.prefill)
+            self.dp.mask_id, method=VLPModel.prefill, **kw)
 
-    def _step(self, params, prev_ids, seg, pos, ck, cv, cache_len):
+    def _step(self, params, prev_ids, seg, pos, ck, cv, cache_len,
+              dropout_rng=None, t=None):
+        kw = {}
+        if dropout_rng is not None:
+            kw = dict(rngs={"dropout": jax.random.fold_in(dropout_rng, t + 1)},
+                      deterministic=False)
         return self.model.apply(
             {"params": params}, prev_ids, seg, pos, ck, cv, cache_len,
-            self.dp.mask_id, method=VLPModel.decode_step)
+            self.dp.mask_id, method=VLPModel.decode_step, **kw)
 
     def _logits(self, params, hidden, task_idx):
         out = self.model.apply({"params": params}, hidden, task_idx,
@@ -100,13 +118,16 @@ class Decoder:
         return out[:, 0, :]  # [B, V]
 
     # -- greedy / sample ---------------------------------------------------
-    def _run_greedy(self, params, batch, rng, *, sample: bool):
+    def _run_greedy(self, params, batch, rng, *, sample: bool,
+                    train_mode: bool = False):
         cfg, dp = self.cfg, self.dp
         B = batch["input_ids"].shape[0]
         T = dp.max_tgt_length
         prefix = cfg.prefix_len
 
-        hidden, ck, cv = self._prefill(params, batch)
+        rng, d_rng = jax.random.split(rng)
+        drop_rng = d_rng if train_mode else None
+        hidden, ck, cv = self._prefill(params, batch, dropout_rng=drop_rng)
         logits0 = self._logits(params, hidden, batch["task_idx"])
 
         def select(logits, rng):
@@ -126,7 +147,8 @@ class Decoder:
             rng, sub = jax.random.split(rng)
             hidden, ck, cv = self._step(
                 params, prev[:, None], batch["segment_ids"],
-                batch["position_ids"], ck, cv, prefix + t)
+                batch["position_ids"], ck, cv, prefix + t,
+                dropout_rng=drop_rng, t=t)
             logits = self._logits(params, hidden, batch["task_idx"])
             ids, lp = select(logits, sub)
             return (ck, cv, ids, rng), (ids, lp)
@@ -141,7 +163,9 @@ class Decoder:
         rng = jax.random.PRNGKey(0) if rng is None else rng
         return self._greedy(params, batch, rng)
 
-    def sample(self, params, batch, rng):
+    def sample(self, params, batch, rng, train_mode: bool = False):
+        if train_mode:
+            return self._sample_train(params, batch, rng)
         return self._sample(params, batch, rng)
 
     # -- beam search -------------------------------------------------------

@@ -123,6 +123,7 @@ class TransformerLayer(nn.Module):
         self.ffn_out = _dense(H, cfg, "ffn_out")
         self.ffn_ln = _layer_norm(cfg, "ffn_ln")
         self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.attn_dropout = nn.Dropout(cfg.attention_probs_dropout_prob)
         self.act = ACT[cfg.hidden_act]
 
     def _heads(self, x: Array) -> Array:
@@ -172,7 +173,8 @@ class TransformerLayer(nn.Module):
         return self._post_attention(self._merge(ctx), x, deterministic)
 
     def incremental(self, x: Array, cache_k: Array, cache_v: Array,
-                    cache_len: Array) -> Tuple[Array, Array, Array]:
+                    cache_len: Array,
+                    deterministic: bool = True) -> Tuple[Array, Array, Array]:
         """KV-cached step: ``x`` is [B, S, H] new tokens at absolute positions
         ``cache_len .. cache_len+S-1``.  All S tokens' K/V are written into the
         cache (the trailing [MASK] probe slot is overwritten next step).
@@ -198,9 +200,11 @@ class TransformerLayer(nn.Module):
                             preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(cfg.head_dim) + bias
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        probs = self.attn_dropout(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhsj,bhjd->bhsd", probs.astype(x.dtype), cache_v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-        out = self._post_attention(self._merge(ctx), x, deterministic=True)
+        out = self._post_attention(self._merge(ctx), x,
+                                   deterministic=deterministic)
         return out, cache_k, cache_v
 
 
@@ -409,17 +413,22 @@ class VLPModel(nn.Module):
         return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
 
     def _incremental_stack(self, x: Array, cache_k: Array, cache_v: Array,
-                           cache_len) -> Tuple[Array, Array, Array]:
+                           cache_len,
+                           deterministic: bool = True
+                           ) -> Tuple[Array, Array, Array]:
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
-            x, ck, cv = layer.incremental(x, cache_k[i], cache_v[i], cache_len)
+            x, ck, cv = layer.incremental(x, cache_k[i], cache_v[i],
+                                          cache_len,
+                                          deterministic=deterministic)
             new_k.append(ck)
             new_v.append(cv)
         return x, jnp.stack(new_k), jnp.stack(new_v)
 
     def prefill(self, input_ids: Array, segment_ids: Array,
                 position_ids: Array, vis_feats: Array, vis_pe: Array,
-                mask_id: int) -> Tuple[Array, Array, Array]:
+                mask_id: int,
+                deterministic: bool = True) -> Tuple[Array, Array, Array]:
         """Encode the [CLS] regions [SEP] prompt plus the first [MASK] probe.
 
         Returns (logits_for_first_token [B,V via mlm caller], cache_k, cache_v)
@@ -432,15 +441,19 @@ class VLPModel(nn.Module):
         ids = jnp.concatenate([input_ids[:, :prefix], probe], axis=1)
         seg = segment_ids[:, :prefix + 1]
         pos = position_ids[:, :prefix + 1]
-        vf, vp = self.project_regions(vis_feats, vis_pe, deterministic=True)
-        x = self.embeddings(ids, seg, pos, vf, vp, deterministic=True)
+        vf, vp = self.project_regions(vis_feats, vis_pe,
+                                      deterministic=deterministic)
+        x = self.embeddings(ids, seg, pos, vf, vp,
+                            deterministic=deterministic)
         cache_k, cache_v = self.init_cache(B)
-        x, cache_k, cache_v = self._incremental_stack(x, cache_k, cache_v, 0)
+        x, cache_k, cache_v = self._incremental_stack(
+            x, cache_k, cache_v, 0, deterministic=deterministic)
         return x[:, -1:, :], cache_k, cache_v
 
     def decode_step(self, prev_ids: Array, segment_ids: Array,
                     position_ids: Array, cache_k: Array, cache_v: Array,
-                    cache_len, mask_id: int) -> Tuple[Array, Array, Array]:
+                    cache_len, mask_id: int,
+                    deterministic: bool = True) -> Tuple[Array, Array, Array]:
         """One generation step: feed [prev_token, MASK probe] at absolute
         positions (cache_len, cache_len+1); returns probe hidden + new cache.
 
@@ -451,9 +464,10 @@ class VLPModel(nn.Module):
         ids = jnp.concatenate([prev_ids, probe], axis=1)
         seg = jax.lax.dynamic_slice_in_dim(segment_ids, cache_len, 2, axis=1)
         pos = jax.lax.dynamic_slice_in_dim(position_ids, cache_len, 2, axis=1)
-        x = self.embeddings(ids, seg, pos, None, None, deterministic=True)
-        x, cache_k, cache_v = self._incremental_stack(x, cache_k, cache_v,
-                                                      cache_len)
+        x = self.embeddings(ids, seg, pos, None, None,
+                            deterministic=deterministic)
+        x, cache_k, cache_v = self._incremental_stack(
+            x, cache_k, cache_v, cache_len, deterministic=deterministic)
         return x[:, -1:, :], cache_k, cache_v
 
     def lm_logits(self, hidden: Array, task_idx: Array) -> Array:

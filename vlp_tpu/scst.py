@@ -16,8 +16,11 @@ loop; that does not exist under jit):
      same log-probs with a gradient path to the parameters (REINFORCE treats
      the sampled ids as constants, so forcing is exact).
 
-Known deviation: the reference samples with dropout active (model.train(),
-run_img2txt_dist.py:505-507); rollouts here are deterministic.
+Dropout parity: the reference samples with dropout active (model.train(),
+run_img2txt_dist.py:505-507).  The sampled rollout here runs in train mode
+too, and the forced replay regenerates the SAME dropout masks (identical rng
+fold structure), so the policy gradient matches the rollout that produced
+the sample — exactly like the reference's single-pass autograd.
 """
 
 from __future__ import annotations
@@ -96,16 +99,24 @@ class SCSTTrainer:
                                                      has_aux=True))
 
     # -- differentiable forced rollout ------------------------------------
-    def _forced_logprobs(self, params, batch, forced_ids):
+    def _forced_logprobs(self, params, batch, forced_ids, drop_rng=None):
         """Log-probs of ``forced_ids`` under the incremental decoder — same
-        computation as Decoder.sample but with the token choice pinned."""
+        computation as Decoder.sample (incl. identical dropout masks when
+        ``drop_rng`` is the rollout's dropout key) with the token choice
+        pinned."""
         cfg, dp = self.cfg, self.dp
         prefix = cfg.prefix_len
+
+        def rngs_kw(i):
+            if drop_rng is None:
+                return {}
+            return dict(rngs={"dropout": jax.random.fold_in(drop_rng, i)},
+                        deterministic=False)
 
         hidden, ck, cv = self.model.apply(
             {"params": params}, batch["input_ids"], batch["segment_ids"],
             batch["position_ids"], batch["vis_feats"], batch["vis_pe"],
-            dp.mask_id, method=VLPModel.prefill)
+            dp.mask_id, method=VLPModel.prefill, **rngs_kw(0))
         logits0 = self.model.apply({"params": params}, hidden,
                                    batch["task_idx"],
                                    method=VLPModel.lm_logits)[:, 0, :]
@@ -122,7 +133,8 @@ class SCSTTrainer:
             hidden, ck, cv = self.model.apply(
                 {"params": params}, prev, batch["segment_ids"],
                 batch["position_ids"], ck, cv, prefix + t,
-                self.dp.mask_id, method=VLPModel.decode_step)
+                self.dp.mask_id, method=VLPModel.decode_step,
+                **rngs_kw(t + 1))
             logits = self.model.apply(
                 {"params": params}, hidden, batch["task_idx"],
                 method=VLPModel.lm_logits)[:, 0, :]
@@ -132,15 +144,18 @@ class SCSTTrainer:
         (_, _), lp_rest = jax.lax.scan(body, (ck, cv), jnp.arange(self.T - 1))
         return jnp.concatenate([lp0[None], lp_rest], axis=0).T  # [B, T]
 
-    def _pg_loss(self, params, batch, gen_result, reward):
-        logprobs = self._forced_logprobs(params, batch, gen_result)
+    def _pg_loss(self, params, batch, gen_result, reward, drop_rng):
+        logprobs = self._forced_logprobs(params, batch, gen_result, drop_rng)
         loss = losses_lib.scst_reward_loss(logprobs, gen_result, reward)
         return loss, {"scst_loss": loss}
 
     # -- public API --------------------------------------------------------
     def rollouts(self, params, batch, rng):
+        """Greedy baseline in eval mode, sample in train mode (dropout on),
+        matching run_img2txt_dist.py:494-507."""
         greedy_ids, _ = self.decoder.greedy(params, batch)
-        sample_ids, _ = self.decoder.sample(params, batch, rng)
+        sample_ids, _ = self.decoder.sample(params, batch, rng,
+                                            train_mode=True)
         greedy = clean_rollout(np.asarray(greedy_ids), self.eos_id, self.pad_id)
         sample = clean_rollout(np.asarray(sample_ids), self.eos_id, self.pad_id)
         return greedy, sample
@@ -151,7 +166,11 @@ class SCSTTrainer:
         run_img2txt_dist.py:517)."""
         greedy, sample = self.rollouts(params, batch, rng)
         reward = get_self_critical_reward(greedy, gt_ids, sample)
+        # the rollout derives its dropout key as split(rng)[1] (decode.py
+        # _run_greedy); replay the same masks in the forced pass
+        _, drop_rng = jax.random.split(rng)
         (loss, metrics), grads = self._loss_grad(
-            params, batch, jnp.asarray(sample), jnp.asarray(reward))
+            params, batch, jnp.asarray(sample), jnp.asarray(reward),
+            drop_rng)
         metrics = dict(metrics, mean_reward=float(reward[:, 0].mean()))
         return loss, grads, metrics
