@@ -85,7 +85,7 @@ class TestShardMapDP:
 
         g_sharded = jax.jit(shard_map(
             local, mesh=mesh, in_specs=(ps, bs),
-            out_specs=ps, check_rep=False))(state.params, batch)
+            out_specs=ps, check_vma=False))(state.params, batch)
 
         for a, b in zip(jax.tree_util.tree_leaves(g_single),
                         jax.tree_util.tree_leaves(g_sharded)):

@@ -115,7 +115,7 @@ def make_shard_map_step(model: VLPModel, tx: optax.GradientTransformation,
                                               {"loss": rep, "masked_lm_loss": rep,
                                                "pretext_loss": rep,
                                                "vqa2_loss": rep})),
-            check_rep=False)
+            check_vma=False)
         return jax.jit(fn)
 
     return make
