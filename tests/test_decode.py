@@ -194,3 +194,44 @@ class TestSample:
                                            logp[int(ids[b, t])],
                                            rtol=1e-3, atol=1e-3)
                 committed.append(int(ids[b, t]))
+
+
+class TestBacktrace:
+    """Unit tests of the host-side trace reconstruction against hand-built
+    traces (modeling.py:1436-1472 semantics)."""
+
+    def make_dec(self, length_penalty=0.0):
+        cfg, model, params = setup_model()
+        return Decoder(model, cfg, DecodeParams(
+            mask_id=MASK, eos_id=EOS, beam_size=2, max_tgt_length=3,
+            length_penalty=length_penalty))
+
+    def test_early_all_eos_frame(self):
+        dec = self.make_dec()
+        T, B, K = 3, 1, 2
+        ids = np.array([[[7, 8]], [[EOS, EOS]], [[9, 9]]])
+        ptrs = np.array([[[0, 0]], [[0, 1]], [[0, 0]]])
+        scores = np.array([[[-1.0, -2.0]], [[-1.5, -2.5]], [[-9.0, -9.0]]])
+        out = dec._backtrace(ids, ptrs, scores)
+        # frame 1 is all-EOS -> frames beyond ignored; best is beam 0 at
+        # frame 1 (score -1.5): seq = [7, EOS]
+        np.testing.assert_array_equal(out["pred_seq"][0], [7, EOS, 0])
+
+    def test_length_penalty_prefers_longer(self):
+        dec = self.make_dec(length_penalty=5.0)
+        ids = np.array([[[EOS, 7]], [[8, EOS]], [[EOS, 9]]])
+        ptrs = np.array([[[0, 0]], [[1, 1]], [[0, 1]]])
+        scores = np.array([[[-1.0, -1.2]], [[-2.0, -2.2]], [[-3.0, -3.5]]])
+        out = dec._backtrace(ids, ptrs, scores)
+        # with a huge per-step bonus the frame-2 EOS candidate wins:
+        # frame 2 beam 0 (EOS, score -3+15=12); backtrack: ptr->beam 0 at
+        # frame 1 -> token 8; ptr 1 -> frame 0 token 7
+        np.testing.assert_array_equal(out["pred_seq"][0], [7, 8, EOS])
+
+    def test_no_eos_takes_last_frame_best(self):
+        dec = self.make_dec()
+        ids = np.array([[[5, 6]], [[7, 8]], [[9, 10]]])
+        ptrs = np.zeros((3, 1, 2), np.int64)
+        scores = np.array([[[-1.0, -2.0]], [[-2.0, -3.0]], [[-2.5, -9.0]]])
+        out = dec._backtrace(ids, ptrs, scores)
+        np.testing.assert_array_equal(out["pred_seq"][0], [5, 7, 9])
