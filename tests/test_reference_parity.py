@@ -181,9 +181,13 @@ def test_img2txt_loss_parity(ref_modeling, rng, label_smoothing, drop_worst):
     B = 4
     x = _make_inputs(cfg, B, rng)
 
+    # the reference pipeline's masked-region column blocking is a no-op
+    # (seq2seq_loader.py:303-304 writes to an indexing copy) — the actual
+    # attention mask never blocks region columns
     vis = np.asarray(visibility(
         jnp.asarray(x["mode"]), jnp.asarray(x["text_end"]),
-        jnp.asarray(x["vis_keep"]), cfg.prefix_len, cfg.seq_len))
+        jnp.asarray(np.ones_like(x["vis_keep"])), cfg.prefix_len,
+        cfg.seq_len))
 
     with torch.no_grad():
         mlm_loss, pretext, vqa_loss = ref(

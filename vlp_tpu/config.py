@@ -58,6 +58,14 @@ class VLPConfig:
     dtype: str = "bfloat16"              # activation dtype on TPU
     use_pallas_attention: bool = True    # fused-attention kernel vs XLA reference path
 
+    # The reference INTENDS to block masked-region attention columns
+    # (seq2seq_loader.py:303-304) but `input_mask[:, pos].fill_(0)` writes to
+    # an advanced-indexing copy — a silent no-op on every torch version, so
+    # the published models were trained WITHOUT column blocking (features are
+    # still zeroed, modeling.py:1050-1057).  Default False = actual reference
+    # behavior; True = the intended semantics.
+    block_masked_regions_in_attention: bool = False
+
     # ------------------------------------------------------------------
     @property
     def head_dim(self) -> int:

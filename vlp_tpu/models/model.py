@@ -307,10 +307,15 @@ class VLPModel(nn.Module):
 
         x = self.embeddings(input_ids, segment_ids, position_ids, vf_in,
                             vp_in, deterministic)
-        colkeep = attn_ops.colkeep_from_vis_keep(vis_keep, L)
+        # attention columns of masked regions are blocked only under the
+        # intended-semantics flag; the reference's column blocking is a
+        # silent no-op (see VLPConfig.block_masked_regions_in_attention)
+        attn_keep = (vis_keep if cfg.block_masked_regions_in_attention
+                     else jnp.ones_like(vis_keep))
+        colkeep = attn_ops.colkeep_from_vis_keep(attn_keep, L)
         bias = None
         if not cfg.use_pallas_attention:
-            bias = mask_ops.attention_bias(mode, text_end, vis_keep,
+            bias = mask_ops.attention_bias(mode, text_end, attn_keep,
                                            cfg.prefix_len, L)
         for layer in self.layers:
             x = layer(x, mode, text_end, colkeep, bias, deterministic)
