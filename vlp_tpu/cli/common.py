@@ -7,7 +7,7 @@ import logging
 import os
 from typing import Optional
 
-from vlp_tpu.data.tokenization import BertTokenizer, WhitespaceTokenizer
+from vlp_tpu.data.tokenization import BertTokenizer
 
 
 def setup_logging(output_dir: str, log_file: str) -> logging.Logger:

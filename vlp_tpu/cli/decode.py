@@ -9,7 +9,6 @@ from __future__ import annotations
 import argparse
 import glob
 import json
-import math
 import os
 import time
 
@@ -19,8 +18,7 @@ import numpy as np
 
 from vlp_tpu import checkpoint as ckpt
 from vlp_tpu.cli import common
-from vlp_tpu.cli.train import make_config, synthetic_examples
-from vlp_tpu.config import VLPConfig
+from vlp_tpu.cli.train import make_config
 from vlp_tpu.data.dataset import load_eval_index
 from vlp_tpu.data.example_builder import DecodeExampleBuilder
 from vlp_tpu.data.features import make_store

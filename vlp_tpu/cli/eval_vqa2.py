@@ -17,7 +17,6 @@ import numpy as np
 from vlp_tpu import checkpoint as ckpt
 from vlp_tpu.cli import common
 from vlp_tpu.cli.train import make_config
-from vlp_tpu.config import VLPConfig
 from vlp_tpu.data.dataset import CaptionExample, load_vqa_index
 from vlp_tpu.data.example_builder import TrainExampleBuilder, collate
 from vlp_tpu.data.features import make_store
