@@ -193,3 +193,24 @@ class TestDecodeBuilder:
         assert (ex["segment_ids"][:cfg.prefix_len] == 4).all()
         assert (ex["segment_ids"][cfg.prefix_len:] == 5).all()
         assert (ex["position_ids"] == np.arange(cfg.seq_len)).all()
+
+
+class TestMaxPredCap:
+    def test_zero_cap_disables_masking(self, rng):
+        """max_pred=0 (VQA eval / SCST) must leave the text untouched
+        (reference n_pred = min(0, ...) = 0)."""
+        cfg = small_cfg()
+        vocab = {w: i for i, w in enumerate(
+            ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a", "man",
+             "rides", "horse"])}
+        b = TrainExampleBuilder(cfg, vocab, mode="bi", mask_prob=0.0,
+                                max_pred=0)
+        tokens = ["a", "man", "rides"]
+        for _ in range(10):
+            ex = b(tokens, np.zeros((cfg.len_vis_input, cfg.vis_feat_dim)),
+                   np.zeros((cfg.len_vis_input, cfg.vis_pe_dim)), rng)
+            assert ex["masked_weights"].sum() == 0
+            # question tokens unchanged
+            got = ex["input_ids"][cfg.prefix_len:cfg.prefix_len + 3]
+            assert got.tolist() == [vocab[t] for t in tokens]
+            assert ex["masked_pos"].shape == (cfg.max_pred,)

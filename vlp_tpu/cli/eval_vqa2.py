@@ -90,11 +90,12 @@ def main(argv=None):
             ex.question_id = getattr(ex, "question_id", i)
         store = make_store(args.region_det_file_prefix, args.region_bbox_file)
 
-    # bi-mode, max_pred=0, always_truncate_tail (eval_vqa2.py:138-144)
+    # bi-mode, max_pred=0, always_truncate_tail (eval_vqa2.py:138-144);
+    # arrays stay width >=1 for static shapes, the cap disables masking
     builder = TrainExampleBuilder(
         cfg.replace(max_pred=1), tokenizer.vocab, mode="bi", mask_prob=0.0,
-        new_segment_ids=args.new_segment_ids, always_truncate_tail=True,
-        load_vqa_ann=True)
+        max_pred=0, new_segment_ids=args.new_segment_ids,
+        always_truncate_tail=True, load_vqa_ann=True)
 
     model = ts.create_model(cfg, task="vqa2")
     template = ts.init_params(model, cfg, jax.random.PRNGKey(args.seed),

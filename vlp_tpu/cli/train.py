@@ -296,8 +296,10 @@ def main(argv=None):
                 if args.scst:
                     prefix = cfg.prefix_len
                     dec_batch = _scst_decode_batch(jbatch, cfg)
+                    # gt = everything after the prompt incl. the final [SEP]
+                    # (run_img2txt_dist.py:517: input_ids[:, len_vis+2:])
                     gt = np.asarray(batch["input_ids"][:,
-                                    prefix:prefix + cfg.max_len_b])
+                                    prefix:prefix + cfg.max_len_b + 1])
                     loss, grads, m = scst_trainer.loss_and_grads(
                         state.params, dec_batch, gt, rng)
                     state = scst_update(state, grads)

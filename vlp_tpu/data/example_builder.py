@@ -97,9 +97,15 @@ class TrainExampleBuilder:
                  mode: str = "s2s", mask_prob: float = 0.15,
                  vis_mask_prob: float = 0.0, new_segment_ids: bool = True,
                  always_truncate_tail: bool = False,
-                 load_vqa_ann: bool = False):
+                 load_vqa_ann: bool = False,
+                 max_pred: Optional[int] = None):
+        """``max_pred`` caps the number of masked predictions (the
+        reference's ``max_pred`` argument; 0 disables masking entirely, as in
+        VQA eval / SCST, eval_vqa2.py:138).  Output arrays keep the fixed
+        ``config.max_pred`` width regardless."""
         assert mode in ("s2s", "bi")
         self.cfg = config
+        self.n_pred_cap = config.max_pred if max_pred is None else max_pred
         self.vocab = vocab
         self.vocab_words = list(vocab.keys())
         self.mode = mode
@@ -146,7 +152,8 @@ class TrainExampleBuilder:
         seg[prefix:text_end] = b_seg  # padding stays 0 (reference pads seg with 0)
 
         # --- masked-LM corruption over caption tokens + final [SEP] ---
-        n_pred = min(cfg.max_pred, max(1, int(round(nb * self.mask_prob))))
+        n_pred = min(self.n_pred_cap,
+                     max(1, int(round(nb * self.mask_prob))))
         cand = np.arange(prefix, text_end)
         rng.shuffle(cand)
         masked_pos_list = cand[:n_pred]
