@@ -34,6 +34,15 @@ def build_parser():
     p.add_argument("--new_segment_ids", action="store_true")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--max_tgt_length", type=int, default=20)
+    # decode-only flags accepted for reference CLI parity (unused in VQA,
+    # present in eval_vqa2.py:76-86 upstream)
+    p.add_argument("--beam_size", type=int, default=1)
+    p.add_argument("--length_penalty", type=float, default=0)
+    p.add_argument("--forbid_duplicate_ngrams", action="store_true")
+    p.add_argument("--forbid_ignore_word", type=str, default=None)
+    p.add_argument("--min_len", default=None, type=int)
+    p.add_argument("--ngram_size", type=int, default=3)
+    p.add_argument("--file_valid_jpgs", default="", type=str)
     p.add_argument("--src_file", default=None, type=str)
     p.add_argument("--ref_file", default="", type=str,
                    help="v2_mscoco_*_annotations.json for local scoring")
