@@ -164,3 +164,14 @@ class TestConvertCLI:
             # vis/ans heads are not part of the reference format mapping for
             # layers absent from it; everything mapped must round-trip
             np.testing.assert_allclose(a, b, err_msg=str(p1))
+
+
+class TestDeviceLoop:
+    def test_train_with_device_loop(self, fixtures):
+        out = os.path.join(fixtures["dir"], "out_devloop")
+        train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "1", "--steps_per_epoch",
+                            "4", "--device_loop_steps", "2"]))
+        assert os.path.isdir(os.path.join(out, "model.1"))
+        log = open(os.path.join(out, "training.log")).read()
+        assert "mean loss" in log

@@ -199,3 +199,32 @@ class TestTrainStep:
         d = jax.tree_util.tree_map(
             lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params)
         assert max(jax.tree_util.tree_leaves(d)) < 5e-2
+
+
+class TestMultiStep:
+    def test_matches_sequential_steps(self, rng):
+        """K scanned device-loop steps == K sequential single steps."""
+        cfg = tiny_cfg()
+        model = ts.create_model(cfg)
+        state, tx = ts.create_train_state(
+            model, cfg, jax.random.PRNGKey(0), lr=1e-3, warmup=0.01,
+            t_total=100)
+        K = 3
+        batches = [make_batch(cfg, 4, rng) for _ in range(K)]
+        import numpy as np
+        stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+
+        single = jax.jit(ts.make_train_step(model, tx))
+        s_seq = state
+        base_rng = jax.random.PRNGKey(9)
+        for i in range(K):
+            s_seq, _ = single(s_seq, batches[i],
+                              jax.random.fold_in(base_rng, i), 0.0)
+
+        multi = jax.jit(ts.make_multi_step(model, tx))
+        s_multi, metrics = multi(state, stacked, base_rng, 0.0)
+        assert metrics["loss"].shape == (K,)
+        for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
+                        jax.tree_util.tree_leaves(s_multi.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)

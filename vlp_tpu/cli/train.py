@@ -110,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of N steps into "
                         "output_dir/profile (replaces the reference's "
                         "visdom-only observability)")
+    p.add_argument("--device_loop_steps", type=int, default=1,
+                   help="scan K training steps on device per dispatch "
+                        "(amortises host round-trips; metrics are logged "
+                        "per chunk)")
     p.add_argument("--jax_distributed", action="store_true",
                    help="call jax.distributed.initialize() for multi-host "
                         "pods (replaces the reference's file:// NCCL "
@@ -273,6 +277,10 @@ def main(argv=None):
             pad_id=sp["[PAD]"], max_tgt_length=cfg.max_len_b)
         scst_update = jax.jit(
             lambda st, grads: _apply(tx, st, grads))
+    elif args.device_loop_steps > 1:
+        multi_fn = jax.jit(ts.make_multi_step(
+            model, tx, mask_image_regions=args.mask_image_regions,
+            task=args.tasks), donate_argnums=(0,))
     else:
         step_fn = jax.jit(ts.make_train_step(
             model, tx, mask_image_regions=args.mask_image_regions,
@@ -285,12 +293,39 @@ def main(argv=None):
         global_rng = jax.random.PRNGKey(args.seed + 1)
         metrics_f = open(metrics_path, "a")
         profiling = False
+        K = max(args.device_loop_steps, 1)
         for i_epoch in range(start_epoch, args.num_train_epochs + 1):
             losses = []
             t_ep = time.time()
+            pending = []
             for step_i, batch in enumerate(loader.epoch(i_epoch - 1)):
                 if args.steps_per_epoch and step_i >= args.steps_per_epoch:
                     break
+                if not args.scst and K > 1:
+                    # device-loop path: stack K batches, one dispatch
+                    pending.append(batch)
+                    if len(pending) < K:
+                        continue
+                    stacked = {k2: jnp.asarray(v)
+                               for k2, v in ts.stack_batches(pending).items()}
+                    pending = []
+                    rng = jax.random.fold_in(global_rng,
+                                             i_epoch * 100000 + step_i)
+                    ratio = (args.max_drop_worst_ratio
+                             if i_epoch > args.drop_after else 0.0)
+                    state, ms = multi_fn(state, stacked, rng, ratio)
+                    chunk_losses = np.asarray(ms["loss"])
+                    losses.extend(float(x) for x in chunk_losses)
+                    if (step_i // K) % max(100 // K, 1) == 0:
+                        logger.info("Epoch %d, Iter %d, Loss %.2f", i_epoch,
+                                    step_i, float(np.mean(losses)))
+                        rec = {"epoch": i_epoch, "step": step_i,
+                               "time": time.time()}
+                        rec.update({k2: float(np.asarray(v)[-1])
+                                    for k2, v in ms.items()})
+                        metrics_f.write(json.dumps(rec) + "\n")
+                        metrics_f.flush()
+                    continue
                 rng = jax.random.fold_in(global_rng, i_epoch * 100000 + step_i)
                 jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
                 if args.scst:

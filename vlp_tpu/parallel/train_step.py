@@ -110,7 +110,8 @@ def make_train_step(model: VLPModel, tx: optax.GradientTransformation, *,
             has_aux=True)(params, batch, rng)
         return grads, metrics
 
-    def train_step(state: TrainState, batch, rng, drop_worst_ratio):
+    def train_step(state: TrainState, batch, rng, drop_worst_ratio):  # noqa: D401
+        """One update (see make_multi_step for the device-loop variant)."""
         if grad_accum <= 1:
             grads, metrics = single_grads(state.params, batch, rng,
                                           drop_worst_ratio)
@@ -136,3 +137,47 @@ def make_train_step(model: VLPModel, tx: optax.GradientTransformation, *,
         return TrainState(new_params, new_opt, state.step + 1), metrics
 
     return train_step
+
+
+def make_multi_step(model: VLPModel, tx: optax.GradientTransformation, *,
+                    mask_image_regions: bool = False, task: str = "img2txt"):
+    """Device-loop training: scan over K stacked batches inside ONE jitted
+    call.
+
+    The reference round-trips host<->device every step
+    (run_img2txt_dist.py:462-463); on TPU each dispatch costs real time (tens
+    of ms through remote runtimes), so the loader stacks K batches
+    ([K, B, ...]) and the whole K-step loop runs on device.  Returns
+    multi_step(state, stacked_batch, rng, drop_worst_ratio)
+    -> (state, stacked_metrics).
+    """
+
+    def one(state, batch, rng, ratio):
+        (loss, metrics), grads = jax.value_and_grad(
+            functools.partial(loss_fn, model, task=task,
+                              mask_image_regions=mask_image_regions,
+                              drop_worst_ratio=ratio),
+            has_aux=True)(state.params, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return TrainState(optax.apply_updates(state.params, updates),
+                          new_opt, state.step + 1), metrics
+
+    def multi_step(state: TrainState, stacked_batch, rng, drop_worst_ratio):
+        def body(st, xs):
+            batch, i = xs
+            st, metrics = one(st, batch, jax.random.fold_in(rng, i), 
+                              drop_worst_ratio)
+            return st, metrics
+
+        K = jax.tree_util.tree_leaves(stacked_batch)[0].shape[0]
+        state, metrics = jax.lax.scan(
+            body, state, (stacked_batch, jnp.arange(K)))
+        return state, metrics
+
+    return multi_step
+
+
+def stack_batches(batches):
+    """[{k: [B,...]}] * K -> {k: [K, B, ...]} for make_multi_step."""
+    import numpy as np
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
