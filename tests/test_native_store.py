@@ -79,3 +79,11 @@ def test_key_path_normalisation(packed):
     store = native.PackedFeatureStore(path)
     feat, _ = store.get(f"/data/coco/trainval/{keys[0]}.npy")
     np.testing.assert_array_equal(feat, records[keys[0]][0])
+
+
+def test_make_store_packed_route(packed):
+    from vlp_tpu.data.features import make_store
+    path, keys, records = packed
+    store = make_store(packed_file=path)
+    feat, pe = store.get(keys[0])
+    np.testing.assert_array_equal(feat, records[keys[0]][0])

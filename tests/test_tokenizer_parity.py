@@ -88,3 +88,24 @@ def test_vocab_load_remap_parity(ref_tok, tmp_path):
     ours = load_vocab(str(p))
     ref = ref_tok.load_vocab(str(p))
     assert dict(ours) == dict(ref)
+
+
+def test_fuzz_random_strings(ref_tok):
+    """500 random unicode-ish strings through both basic tokenizers."""
+    import random
+    from vlp_tpu.data.tokenization import BasicTokenizer
+    rnd = random.Random(42)
+    pools = [
+        (0x20, 0x7E),       # ascii
+        (0xA0, 0x2FF),      # latin supplement/extended
+        (0x370, 0x3FF),     # greek
+        (0x4E00, 0x4E80),   # CJK
+        (0x2000, 0x206F),   # punctuation block
+    ]
+    ref = ref_tok.BasicTokenizer(do_lower_case=True)
+    ours = BasicTokenizer(do_lower_case=True)
+    for _ in range(500):
+        n = rnd.randint(0, 40)
+        s = "".join(chr(rnd.randint(*pools[rnd.randrange(len(pools))]))
+                    for _ in range(n))
+        assert ours.tokenize(s) == ref.tokenize(s), repr(s)

@@ -56,6 +56,10 @@ def build_parser():
     p.add_argument("--enable_butd", action="store_true")
     p.add_argument("--region_bbox_file", default="", type=str)
     p.add_argument("--region_det_file_prefix", default="", type=str)
+    p.add_argument("--packed_feature_file", default="", type=str,
+                   help="native packed feature store (.vlps) built by "
+                        "vlp_tpu.data.native_store.pack_from_h5 — fast-path "
+                        "replacement for the h5 shards")
     p.add_argument("--file_valid_jpgs", default="", type=str)
     p.add_argument("--ann_file", default="", type=str,
                    help="caption annotations for metric eval (COCO or "
@@ -101,7 +105,8 @@ def main(argv=None):
         eval_list = load_eval_index(args.src_file, args.split,
                                     args.image_root, args.dataset,
                                     args.file_valid_jpgs)
-        store = make_store(args.region_det_file_prefix, args.region_bbox_file)
+        store = make_store(args.region_det_file_prefix, args.region_bbox_file,
+                           packed_file=args.packed_feature_file)
 
     builder = DecodeExampleBuilder(cfg, tokenizer.vocab,
                                    new_segment_ids=args.new_segment_ids,

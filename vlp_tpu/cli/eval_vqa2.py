@@ -54,6 +54,10 @@ def build_parser():
     p.add_argument("--enable_butd", action="store_true")
     p.add_argument("--region_bbox_file", default="", type=str)
     p.add_argument("--region_det_file_prefix", default="", type=str)
+    p.add_argument("--packed_feature_file", default="", type=str,
+                   help="native packed feature store (.vlps) built by "
+                        "vlp_tpu.data.native_store.pack_from_h5 — fast-path "
+                        "replacement for the h5 shards")
     p.add_argument("--output_dir", default="tmp", type=str)
     p.add_argument("--answer_vocab_file", required=True, type=str)
     p.add_argument("--synthetic_data", action="store_true")
@@ -97,7 +101,8 @@ def main(argv=None):
                                    args.image_root)
         for i, ex in enumerate(eval_list):
             ex.question_id = getattr(ex, "question_id", i)
-        store = make_store(args.region_det_file_prefix, args.region_bbox_file)
+        store = make_store(args.region_det_file_prefix, args.region_bbox_file,
+                           packed_file=args.packed_feature_file)
 
     # bi-mode, max_pred=0, always_truncate_tail (eval_vqa2.py:138-144);
     # arrays stay width >=1 for static shapes, the cap disables masking

@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable_butd", action="store_true")
     p.add_argument("--region_bbox_file", default="", type=str)
     p.add_argument("--region_det_file_prefix", default="", type=str)
+    p.add_argument("--packed_feature_file", default="", type=str,
+                   help="native packed feature store (.vlps) built by "
+                        "vlp_tpu.data.native_store.pack_from_h5 — fast-path "
+                        "replacement for the h5 shards")
     p.add_argument("--tasks", default="img2txt", choices=("img2txt", "vqa2"))
     p.add_argument("--relax_projection", action="store_true")
     p.add_argument("--scst", action="store_true")
@@ -193,7 +197,8 @@ def main(argv=None):
                            feat_dim=cfg.vis_feat_dim,
                            cls_dim=cfg.vis_cls_dim)
     else:
-        store = make_store(args.region_det_file_prefix, args.region_bbox_file)
+        store = make_store(args.region_det_file_prefix, args.region_bbox_file,
+                           packed_file=args.packed_feature_file)
         if args.tasks == "vqa2":
             examples = load_vqa_index(args.src_file, data_tokenizer,
                                       args.image_root, args.use_num_imgs)

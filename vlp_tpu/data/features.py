@@ -129,7 +129,10 @@ class CachedStore:
 
 
 def make_store(region_det_file_prefix: str = "", region_bbox_file: str = "",
-               synthetic: bool = False, **kw):
+               synthetic: bool = False, packed_file: str = "", **kw):
+    if packed_file:
+        from vlp_tpu.data.native_store import PackedFeatureStore
+        return PackedFeatureStore(packed_file)
     if synthetic or (not region_det_file_prefix and not region_bbox_file):
         return SyntheticFeatureStore(**kw)
     if region_det_file_prefix:
