@@ -25,7 +25,6 @@ from vlp_tpu.data.features import make_store
 from vlp_tpu.data.loader import EvalLoader
 from vlp_tpu.data.tokenization import detokenize
 from vlp_tpu.decode import DecodeParams, Decoder
-from vlp_tpu.models.model import VLPModel
 from vlp_tpu.parallel import train_step as ts
 
 

@@ -37,7 +37,6 @@ from vlp_tpu.data.example_builder import TrainExampleBuilder
 from vlp_tpu.data.features import make_store
 from vlp_tpu.data.loader import TrainLoader
 from vlp_tpu.data.tokenization import WhitespaceTokenizer
-from vlp_tpu.models.model import VLPModel
 from vlp_tpu.parallel import train_step as ts
 
 

@@ -15,7 +15,7 @@ import json
 import os
 import re
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from vlp_tpu.evals.bleu import compute_bleu
 from vlp_tpu.evals.cider import CiderScorer

@@ -12,8 +12,8 @@ from __future__ import annotations
 
 import json
 import re
-from collections import Counter, defaultdict
-from typing import Dict, List, Optional, Sequence
+from collections import defaultdict
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -21,7 +21,7 @@ Provided (reference class -> module here):
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -14,14 +14,11 @@ Pallas by running the step under shard_map — see ``make_shard_map_step``.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vlp_tpu.config import VLPConfig
 from vlp_tpu.models.model import VLPModel
 from vlp_tpu.parallel import mesh as mesh_lib
 from vlp_tpu.parallel import train_step as ts

@@ -10,7 +10,7 @@ call.  Gradient accumulation is a ``lax.scan`` over micro-batches.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

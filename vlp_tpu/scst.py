@@ -25,9 +25,6 @@ the sample — exactly like the reference's single-pass autograd.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
