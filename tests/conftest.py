@@ -15,8 +15,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", jax.default_backend()
+if os.environ.get("JAX_REQUIRE_TPU") == "1":
+    # opt-out for real-chip tests (tests/test_tpu_dropout.py)
+    assert jax.default_backend() == "tpu", jax.default_backend()
+else:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
 import numpy as np
 import pytest

@@ -81,8 +81,12 @@ def _softmax_probs(scores_f32):
 
 
 def _dropout_keep_scale(shape, rate: float):
-    """Draw a keep/scale multiplier from the already-seeded on-chip PRNG."""
-    bits = pltpu.prng_random_bits(shape)  # uint32
+    """Draw a keep/scale multiplier from the already-seeded on-chip PRNG.
+
+    prng_random_bits yields int32-typed bits — bitcast to uint32 before the
+    threshold compare, or the keep probability silently becomes
+    ~(0.5 - rate/2) instead of (1 - rate)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     threshold = np.uint32(min(int(rate * float(2 ** 32)), 2 ** 32 - 1))
     keep = bits >= threshold
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
