@@ -139,3 +139,24 @@ class TestGSPMD:
                                      "embedding"], None) == P("model", None)
         assert mesh_lib.param_pspec(["layer_0", "attn_ln", "scale"],
                                     None) == P()
+
+
+class TestDeviceLoopMultiChip:
+    def test_multi_step_under_gspmd(self, setup, rng):
+        """The production shape: K-step device loop with the batch dim
+        sharded over the data axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cfg, model, state, tx = setup
+        mesh = mesh_lib.make_mesh(data=8, model=1)
+        K = 2
+        batches = [make_batch(cfg, 16, rng) for _ in range(K)]
+        stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+        stacked = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(
+                mesh, P(None, "data", *([None] * (x.ndim - 2))))), stacked)
+        rep = NamedSharding(mesh, P())
+        st = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+        multi = jax.jit(ts.make_multi_step(model, tx))
+        st, metrics = multi(st, stacked, jax.random.PRNGKey(4), 0.0)
+        assert metrics["loss"].shape == (K,)
+        assert np.isfinite(np.asarray(metrics["loss"])).all()
