@@ -4,9 +4,12 @@ Re-implements the reference decoder
 (/root/reference/pytorch_pretrained_bert/modeling.py:1147-1494) TPU-first:
 
   * the ragged python-list activation cache (modeling.py:1240-1250) becomes a
-    preallocated per-layer K/V cache [layers, B(,K), heads, L, head_dim]
-    updated with ``dynamic_update_slice`` — and K/V are cached directly
-    instead of re-projecting layer inputs every step;
+    preallocated SPLIT K/V cache updated with ``dynamic_update_slice`` — the
+    [CLS] regions [SEP] prompt K/V lives once per example
+    [layers, B, heads, prefix, head_dim] (never beam-expanded, never
+    reordered) while generated tokens get a small per-beam cache
+    [layers, B*K, heads, ~24, head_dim]; K/V are cached directly instead of
+    re-projecting layer inputs every step;
   * each step feeds [prev_token, [MASK] probe] exactly like the reference's
     ``x_input_ids = cat(curr_ids, mask_ids)`` (modeling.py:1213), predicting
     at the probe and committing only the real token's K/V;
@@ -102,15 +105,24 @@ class Decoder:
             batch["position_ids"], batch["vis_feats"], batch["vis_pe"],
             self.dp.mask_id, method=VLPModel.prefill, **kw)
 
-    def _step(self, params, prev_ids, seg, pos, ck, cv, cache_len,
+    def _step(self, params, prev_ids, seg, pos, pk, pv, gk, gv, gen_len,
               dropout_rng=None, t=None):
         kw = {}
         if dropout_rng is not None:
             kw = dict(rngs={"dropout": jax.random.fold_in(dropout_rng, t + 1)},
                       deterministic=False)
         return self.model.apply(
-            {"params": params}, prev_ids, seg, pos, ck, cv, cache_len,
+            {"params": params}, prev_ids, seg, pos, pk, pv, gk, gv, gen_len,
             self.dp.mask_id, method=VLPModel.decode_step, **kw)
+
+    def _init_gen_cache(self, rows: int):
+        """Generated-token K/V caches [layers, rows, H, G, D]."""
+        cfg = self.cfg
+        G = VLPModel.gen_cache_slots(self.dp.max_tgt_length)
+        shape = (cfg.num_hidden_layers, rows, cfg.num_attention_heads, G,
+                 cfg.head_dim)
+        dt = jnp.dtype(cfg.dtype)
+        return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
 
     def _logits(self, params, hidden, task_idx):
         out = self.model.apply({"params": params}, hidden, task_idx,
@@ -123,11 +135,11 @@ class Decoder:
         cfg, dp = self.cfg, self.dp
         B = batch["input_ids"].shape[0]
         T = dp.max_tgt_length
-        prefix = cfg.prefix_len
 
         rng, d_rng = jax.random.split(rng)
         drop_rng = d_rng if train_mode else None
-        hidden, ck, cv = self._prefill(params, batch, dropout_rng=drop_rng)
+        hidden, pk, pv = self._prefill(params, batch, dropout_rng=drop_rng)
+        gk, gv = self._init_gen_cache(B)
         logits0 = self._logits(params, hidden, batch["task_idx"])
 
         def select(logits, rng):
@@ -143,18 +155,18 @@ class Decoder:
         ids0, lp0 = select(logits0, rng0)
 
         def body(carry, t):
-            ck, cv, prev, rng = carry
+            gk, gv, prev, rng = carry
             rng, sub = jax.random.split(rng)
-            hidden, ck, cv = self._step(
+            hidden, gk, gv = self._step(
                 params, prev[:, None], batch["segment_ids"],
-                batch["position_ids"], ck, cv, prefix + t,
+                batch["position_ids"], pk, pv, gk, gv, t,
                 dropout_rng=drop_rng, t=t)
             logits = self._logits(params, hidden, batch["task_idx"])
             ids, lp = select(logits, sub)
-            return (ck, cv, ids, rng), (ids, lp)
+            return (gk, gv, ids, rng), (ids, lp)
 
         (_, _, _, _), (ids_rest, lp_rest) = jax.lax.scan(
-            body, (ck, cv, ids0, rng_loop), jnp.arange(T - 1))
+            body, (gk, gv, ids0, rng_loop), jnp.arange(T - 1))
         ids = jnp.concatenate([ids0[None], ids_rest], axis=0).T   # [B, T]
         lps = jnp.concatenate([lp0[None], lp_rest], axis=0).T
         return ids, lps
@@ -210,19 +222,19 @@ class Decoder:
         K = dp.beam_size
         B = batch["input_ids"].shape[0]
         T = dp.max_tgt_length
-        prefix = cfg.prefix_len
         V = cfg.vocab_size
 
-        hidden, ck, cv = self._prefill(params, batch)
+        hidden, pk, pv = self._prefill(params, batch)
         logits0 = self._logits(params, hidden, batch["task_idx"])
         logp0 = jax.nn.log_softmax(logits0, axis=-1)
         if dp.min_len and 1 <= dp.min_len:
             logp0 = logp0.at[:, dp.eos_id].set(NEG)
         k_scores0, k_ids0 = jax.lax.top_k(logp0, K)              # [B, K]
 
-        # expand everything to beam-major B*K
-        ck = jax.vmap(lambda c: _expand_beams(c, K))(ck)
-        cv = jax.vmap(lambda c: _expand_beams(c, K))(cv)
+        # expand the small streams to beam-major B*K; the prompt K/V caches
+        # stay [B, ...] (identical across an example's beams) and only the
+        # generated-token caches live at beam granularity
+        gk, gv = self._init_gen_cache(B * K)
         seg = _expand_beams(batch["segment_ids"], K)
         pos = _expand_beams(batch["position_ids"], K)
         task_idx = _expand_beams(batch["task_idx"], K)
@@ -231,9 +243,9 @@ class Decoder:
         seqs = seqs.at[:, 0].set(k_ids0.reshape(-1))
 
         def body(carry, t):
-            ck, cv, seqs, prev_ids, last_scores, last_eos = carry
-            hidden, ck, cv = self._step(
-                params, prev_ids[:, None], seg, pos, ck, cv, prefix + t - 1)
+            gk, gv, seqs, prev_ids, last_scores, last_eos = carry
+            hidden, gk, gv = self._step(
+                params, prev_ids[:, None], seg, pos, pk, pv, gk, gv, t - 1)
             logits = self.model.apply({"params": params}, hidden, task_idx,
                                       method=VLPModel.lm_logits)[:, 0, :]
             logp = jax.nn.log_softmax(logits, axis=-1)           # [B*K, V]
@@ -255,18 +267,19 @@ class Decoder:
             back_ptrs = k_idx // K
             k_ids = jnp.take_along_axis(kk_ids, k_idx, axis=1)
 
-            # reorder caches + committed seqs by back pointers, then commit
-            ck = jax.vmap(lambda c: _gather_beams(c, back_ptrs, B, K))(ck)
-            cv = jax.vmap(lambda c: _gather_beams(c, back_ptrs, B, K))(cv)
+            # reorder the generated-token caches + committed seqs by back
+            # pointers, then commit (the prompt caches need no reordering)
+            gk = jax.vmap(lambda c: _gather_beams(c, back_ptrs, B, K))(gk)
+            gv = jax.vmap(lambda c: _gather_beams(c, back_ptrs, B, K))(gv)
             seqs = _gather_beams(seqs, back_ptrs, B, K)
             seqs = seqs.at[:, t].set(k_ids.reshape(-1))
 
             eos = (k_ids == dp.eos_id).astype(jnp.float32)
-            carry = (ck, cv, seqs, k_ids.reshape(-1), k_scores, eos)
+            carry = (gk, gv, seqs, k_ids.reshape(-1), k_scores, eos)
             return carry, (k_ids, back_ptrs, k_scores, eos)
 
         eos0 = (k_ids0 == dp.eos_id).astype(jnp.float32)
-        carry0 = (ck, cv, seqs, k_ids0.reshape(-1), k_scores0, eos0)
+        carry0 = (gk, gv, seqs, k_ids0.reshape(-1), k_scores0, eos0)
         _, (ids_r, ptrs_r, scores_r, eos_r) = jax.lax.scan(
             body, carry0, jnp.arange(1, T))
 

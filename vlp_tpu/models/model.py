@@ -175,7 +175,8 @@ class TransformerLayer(nn.Module):
     def incremental(self, x: Array, cache_k: Array, cache_v: Array,
                     cache_len: Array,
                     deterministic: bool = True) -> Tuple[Array, Array, Array]:
-        """KV-cached step: ``x`` is [B, S, H] new tokens at absolute positions
+        """KV-cached step over a single flat cache (used by ``prefill``):
+        ``x`` is [B, S, H] new tokens at absolute positions
         ``cache_len .. cache_len+S-1``.  All S tokens' K/V are written into the
         cache (the trailing [MASK] probe slot is overwritten next step).
         Returns (layer_out, new_cache_k, new_cache_v)."""
@@ -207,6 +208,71 @@ class TransformerLayer(nn.Module):
                                    deterministic=deterministic)
         return out, cache_k, cache_v
 
+    def incremental_split(self, x: Array, pk: Array, pv: Array, gk: Array,
+                          gv: Array, gen_len,
+                          deterministic: bool = True
+                          ) -> Tuple[Array, Array, Array]:
+        """KV-cached step over a split cache (TPU-first decode layout).
+
+        The reference grows one ragged python cache per layer
+        (modeling.py:1240-1250) and beam search reorders *all* of it every
+        step (modeling.py:1352-1365).  Here the cache is split:
+
+          * ``pk``/``pv``  [B, H, P, D]   — the [CLS] regions [SEP] prompt.
+            Identical across the K beams of an example by construction
+            (written at prefill, before any beam divergence), so it is stored
+            once per example, never reordered, and its HBM read is amortised
+            K-fold via an einsum over a [B, K, ...] query layout.
+          * ``gk``/``gv``  [B*K, H, G, D] — generated tokens only (G ≈ 24
+            slots instead of the padded 128-token sequence), the only part
+            beam reordering has to gather.
+
+        ``x``: [B*K, S, hidden] new tokens at generated positions
+        ``gen_len .. gen_len+S-1`` (absolute ``prefix_len + gen_len`` ...).
+        All S tokens' K/V are written into ``gk``/``gv`` (the trailing [MASK]
+        probe slot is overwritten next step).
+        """
+        cfg = self.cfg
+        B = pk.shape[0]
+        BK, S, _ = x.shape
+        K = BK // B
+        q = self._heads(self.q_proj(x))   # [B*K, Hh, S, D]
+        k = self._heads(self.k_proj(x))
+        v = self._heads(self.v_proj(x))
+        gk = jax.lax.dynamic_update_slice(
+            gk, k.astype(gk.dtype), (0, 0, gen_len, 0))
+        gv = jax.lax.dynamic_update_slice(
+            gv, v.astype(gv.dtype), (0, 0, gen_len, 0))
+        Hh, G, D = gk.shape[1], gk.shape[2], gk.shape[3]
+        P = pk.shape[2]
+        scale = 1.0 / math.sqrt(cfg.head_dim)
+
+        qb = q.reshape(B, K, Hh, S, D)
+        # prompt tokens are all real and visible to every query
+        # (seq2seq_loader.py:423-429)
+        sp = jnp.einsum("bkhsd,bhjd->bkhsj", qb, pk,
+                        preferred_element_type=jnp.float32) * scale
+        gkb = gk.reshape(B, K, Hh, G, D)
+        sg = jnp.einsum("bkhsd,bkhjd->bkhsj", qb, gkb,
+                        preferred_element_type=jnp.float32) * scale
+        # generated slot j is visible to query s iff committed (j <= gen_len+s)
+        jpos = jnp.arange(G)[None, :]
+        spos = gen_len + jnp.arange(S)[:, None]
+        gbias = jnp.where(jpos <= spos, 0.0, mask_ops.NEG_INF)[None, None, None]
+        scores = jnp.concatenate([sp, sg + gbias], axis=-1)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        probs = self.attn_dropout(probs, deterministic=deterministic)
+        probs = probs.astype(x.dtype)
+        ctx = jnp.einsum("bkhsj,bhjd->bkhsd", probs[..., :P], pv,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx + jnp.einsum("bkhsj,bkhjd->bkhsd", probs[..., P:],
+                               gv.reshape(B, K, Hh, G, D),
+                               preferred_element_type=jnp.float32)
+        ctx = ctx.astype(x.dtype).reshape(BK, Hh, S, D)
+        out = self._post_attention(self._merge(ctx), x,
+                                   deterministic=deterministic)
+        return out, gk, gv
+
 
 class MLMHead(nn.Module):
     """Transform + relax-projection select + tied decode
@@ -236,9 +302,15 @@ class MLMHead(nn.Module):
             h = jnp.take_along_axis(
                 h, task_idx[:, None, None, None].astype(jnp.int32), axis=2
             )[:, :, 0, :]
-        logits = jnp.einsum("bph,vh->bpv", h.astype(jnp.float32),
-                            word_embedding.astype(jnp.float32))
-        return logits + self.bias[None, None, :]
+        # vocab matmul in the activation dtype with fp32 accumulation: on TPU
+        # this runs the MXU at bf16 rate and halves the embedding-table HBM
+        # read (the reference's fp16 path decodes in half precision too,
+        # modeling.py:455-462); under float32 activations it is bit-identical
+        # to an fp32 matmul.
+        logits = jnp.einsum("bph,vh->bpv", h,
+                            word_embedding.astype(h.dtype),
+                            preferred_element_type=jnp.float32)
+        return logits.astype(jnp.float32) + self.bias[None, None, :]
 
 
 class VLPModel(nn.Module):
@@ -410,12 +482,19 @@ class VLPModel(nn.Module):
     # ------------------------------------------------------------------
     # Incremental generation primitives (BertForSeq2SeqDecoder parity).
     # ------------------------------------------------------------------
-    def init_cache(self, batch_size: int) -> Tuple[Array, Array]:
+    def init_cache(self, batch_size: int,
+                   length: Optional[int] = None) -> Tuple[Array, Array]:
         cfg = self.cfg
         shape = (cfg.num_hidden_layers, batch_size, cfg.num_attention_heads,
-                 cfg.seq_len, cfg.head_dim)
+                 cfg.seq_len if length is None else length, cfg.head_dim)
         dt = jnp.dtype(cfg.dtype)
         return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
+
+    @staticmethod
+    def gen_cache_slots(max_tgt_length: int) -> int:
+        """Generated-token cache size: max committed tokens + probe slot,
+        rounded up for TPU-friendly tiling."""
+        return -(-(max_tgt_length) // 8) * 8
 
     def _incremental_stack(self, x: Array, cache_k: Array, cache_v: Array,
                            cache_len,
@@ -430,14 +509,30 @@ class VLPModel(nn.Module):
             new_v.append(cv)
         return x, jnp.stack(new_k), jnp.stack(new_v)
 
+    def _split_stack(self, x: Array, pk: Array, pv: Array, gk: Array,
+                     gv: Array, gen_len,
+                     deterministic: bool = True
+                     ) -> Tuple[Array, Array, Array]:
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x, k, v = layer.incremental_split(x, pk[i], pv[i], gk[i], gv[i],
+                                              gen_len,
+                                              deterministic=deterministic)
+            new_k.append(k)
+            new_v.append(v)
+        return x, jnp.stack(new_k), jnp.stack(new_v)
+
     def prefill(self, input_ids: Array, segment_ids: Array,
                 position_ids: Array, vis_feats: Array, vis_pe: Array,
                 mask_id: int,
                 deterministic: bool = True) -> Tuple[Array, Array, Array]:
         """Encode the [CLS] regions [SEP] prompt plus the first [MASK] probe.
 
-        Returns (logits_for_first_token [B,V via mlm caller], cache_k, cache_v)
-        — actually returns (hidden_of_probe [B,1,H], cache_k, cache_v).
+        Returns (hidden_of_probe [B,1,H], prompt_k, prompt_v) where the
+        prompt caches are [layers, B, H, prefix_len, D] — the probe's K/V is
+        dropped (it is a [MASK] that must not be attended to later; the
+        reference likewise overwrites its cache slot next step,
+        modeling.py:1213/1240-1250).
         """
         cfg = self.cfg
         B = input_ids.shape[0]
@@ -450,30 +545,33 @@ class VLPModel(nn.Module):
                                       deterministic=deterministic)
         x = self.embeddings(ids, seg, pos, vf, vp,
                             deterministic=deterministic)
-        cache_k, cache_v = self.init_cache(B)
+        cache_k, cache_v = self.init_cache(B, length=prefix + 1)
         x, cache_k, cache_v = self._incremental_stack(
             x, cache_k, cache_v, 0, deterministic=deterministic)
-        return x[:, -1:, :], cache_k, cache_v
+        return x[:, -1:, :], cache_k[:, :, :, :prefix], cache_v[:, :, :, :prefix]
 
     def decode_step(self, prev_ids: Array, segment_ids: Array,
-                    position_ids: Array, cache_k: Array, cache_v: Array,
-                    cache_len, mask_id: int,
+                    position_ids: Array, pk: Array, pv: Array, gk: Array,
+                    gv: Array, gen_len, mask_id: int,
                     deterministic: bool = True) -> Tuple[Array, Array, Array]:
         """One generation step: feed [prev_token, MASK probe] at absolute
-        positions (cache_len, cache_len+1); returns probe hidden + new cache.
+        positions (prefix+gen_len, prefix+gen_len+1); returns probe hidden +
+        the updated generated-token caches (prompt caches are read-only).
 
-        prev_ids: int[B, 1]; segment_ids/position_ids: int[B, L] full streams.
+        prev_ids: int[B*K, 1]; segment_ids/position_ids: int[B*K, L] full
+        streams; pk/pv: [layers, B, H, P, D]; gk/gv: [layers, B*K, H, G, D].
         """
-        B = prev_ids.shape[0]
-        probe = jnp.full((B, 1), mask_id, dtype=prev_ids.dtype)
+        BK = prev_ids.shape[0]
+        cache_len = self.cfg.prefix_len + gen_len
+        probe = jnp.full((BK, 1), mask_id, dtype=prev_ids.dtype)
         ids = jnp.concatenate([prev_ids, probe], axis=1)
         seg = jax.lax.dynamic_slice_in_dim(segment_ids, cache_len, 2, axis=1)
         pos = jax.lax.dynamic_slice_in_dim(position_ids, cache_len, 2, axis=1)
         x = self.embeddings(ids, seg, pos, None, None,
                             deterministic=deterministic)
-        x, cache_k, cache_v = self._incremental_stack(
-            x, cache_k, cache_v, cache_len, deterministic=deterministic)
-        return x[:, -1:, :], cache_k, cache_v
+        x, gk, gv = self._split_stack(x, pk, pv, gk, gv, gen_len,
+                                      deterministic=deterministic)
+        return x[:, -1:, :], gk, gv
 
     def lm_logits(self, hidden: Array, task_idx: Array) -> Array:
         """MLM logits for generation (fp32, [B, S, V])."""

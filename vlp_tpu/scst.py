@@ -102,7 +102,6 @@ class SCSTTrainer:
         ``drop_rng`` is the rollout's dropout key) with the token choice
         pinned."""
         cfg, dp = self.cfg, self.dp
-        prefix = cfg.prefix_len
 
         def rngs_kw(i):
             if drop_rng is None:
@@ -110,10 +109,16 @@ class SCSTTrainer:
             return dict(rngs={"dropout": jax.random.fold_in(drop_rng, i)},
                         deterministic=False)
 
-        hidden, ck, cv = self.model.apply(
+        hidden, pk, pv = self.model.apply(
             {"params": params}, batch["input_ids"], batch["segment_ids"],
             batch["position_ids"], batch["vis_feats"], batch["vis_pe"],
             dp.mask_id, method=VLPModel.prefill, **rngs_kw(0))
+        B = batch["input_ids"].shape[0]
+        G = VLPModel.gen_cache_slots(dp.max_tgt_length)
+        gshape = (cfg.num_hidden_layers, B, cfg.num_attention_heads, G,
+                  cfg.head_dim)
+        gk = jnp.zeros(gshape, jnp.dtype(cfg.dtype))
+        gv = jnp.zeros(gshape, jnp.dtype(cfg.dtype))
         logits0 = self.model.apply({"params": params}, hidden,
                                    batch["task_idx"],
                                    method=VLPModel.lm_logits)[:, 0, :]
@@ -125,20 +130,20 @@ class SCSTTrainer:
         lp0 = logp_of(logits0, forced_ids[:, 0])
 
         def body(carry, t):
-            ck, cv = carry
+            gk, gv = carry
             prev = jax.lax.dynamic_slice_in_dim(forced_ids, t, 1, axis=1)
-            hidden, ck, cv = self.model.apply(
+            hidden, gk, gv = self.model.apply(
                 {"params": params}, prev, batch["segment_ids"],
-                batch["position_ids"], ck, cv, prefix + t,
+                batch["position_ids"], pk, pv, gk, gv, t,
                 self.dp.mask_id, method=VLPModel.decode_step,
                 **rngs_kw(t + 1))
             logits = self.model.apply(
                 {"params": params}, hidden, batch["task_idx"],
                 method=VLPModel.lm_logits)[:, 0, :]
             nxt = forced_ids[:, jnp.minimum(t + 1, self.T - 1)]
-            return (ck, cv), logp_of(logits, nxt)
+            return (gk, gv), logp_of(logits, nxt)
 
-        (_, _), lp_rest = jax.lax.scan(body, (ck, cv), jnp.arange(self.T - 1))
+        (_, _), lp_rest = jax.lax.scan(body, (gk, gv), jnp.arange(self.T - 1))
         return jnp.concatenate([lp0[None], lp_rest], axis=0).T  # [B, T]
 
     def _pg_loss(self, params, batch, gen_result, reward, drop_rng):
