@@ -141,6 +141,34 @@ class TestGSPMD:
                                     None) == P()
 
 
+class TestDataParallelDecode:
+    def test_sharded_beam_matches_single(self, rng):
+        """Beam search with the batch sharded over an 8-device data mesh must
+        reproduce the single-device traces exactly (decode has no Pallas
+        calls; GSPMD partitions the scan by computation-follows-data)."""
+        from vlp_tpu.decode import DecodeParams, Decoder
+        from tests.test_decode import decode_batch, setup_model
+
+        cfg, model, params = setup_model(seed=2)
+        dp = DecodeParams(beam_size=3, eos_id=4, mask_id=5,
+                          forbid_duplicate_ngrams=True, ngram_size=2,
+                          max_tgt_length=cfg.max_len_b,
+                          forbid_ignore_ids=(4,))
+        batch = decode_batch(cfg, 8, rng)
+
+        single = Decoder(model, cfg, dp)
+        out1 = single.beam_search(params, batch)
+
+        mesh = mesh_lib.make_mesh(data=8, model=1)
+        sharded = Decoder(model, cfg, dp, mesh=mesh)
+        p2, b2 = sharded.shard_inputs(params, batch)
+        out2 = sharded.beam_search(p2, b2)
+
+        np.testing.assert_array_equal(out1["pred_seq"], out2["pred_seq"])
+        np.testing.assert_allclose(out1["scores"], out2["scores"],
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestDeviceLoopMultiChip:
     def test_multi_step_under_gspmd(self, setup, rng):
         """The production shape: K-step device loop with the batch dim

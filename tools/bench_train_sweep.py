@@ -31,20 +31,20 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     cfg = VLPConfig(use_pallas_attention=on_tpu)
     model = ts.create_model(cfg)
-    state0, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
-                                       lr=1e-4, warmup=0.1, t_total=100000)
-    multi = jax.jit(ts.make_multi_step(model, tx, mask_image_regions=True),
-                    donate_argnums=(0,))
 
     K = args.k
     for B in [int(b) for b in args.batches.split(",")]:
+        state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                          lr=1e-4, warmup=0.1, t_total=100000)
+        multi = jax.jit(ts.make_multi_step(model, tx,
+                                           mask_image_regions=True),
+                        donate_argnums=(0,))
         batch = _example_batch(cfg, B, seed=0)
         stacked = {k: jnp.broadcast_to(v[None], (K,) + v.shape)
                    for k, v in batch.items()}
         stacked["vis_feats"] = jax.random.normal(
             jax.random.PRNGKey(7), (K, B, cfg.len_vis_input, cfg.vis_feat_dim),
             jnp.float32)
-        state = jax.tree_util.tree_map(jnp.copy, state0)
         state, m = multi(state, stacked, jax.random.PRNGKey(0), 0.0)
         float(m["loss"][-1])  # force completion through the tunnel
         t0 = time.perf_counter()

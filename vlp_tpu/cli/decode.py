@@ -120,7 +120,15 @@ def main(argv=None):
         ngram_size=args.ngram_size, min_len=args.min_len or 0,
         max_tgt_length=args.max_tgt_length,
         forbid_ignore_ids=forbid_ignore_ids)
-    decoder = Decoder(model, cfg, dp)
+    # data-parallel decode over all local devices (the reference is
+    # single-GPU at inference, README.md:205)
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batch_size % n_dev == 0:
+        from vlp_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=n_dev, model=1)
+        print(f"data-parallel decode over {n_dev} devices")
+    decoder = Decoder(model, cfg, dp, mesh=mesh)
 
     all_stats = {}
     paths = (glob.glob(args.model_recover_path.strip())
@@ -140,6 +148,7 @@ def main(argv=None):
         n_done = 0
         for batch, chunk, pad in loader:
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, jbatch = decoder.shard_inputs(params, jbatch)
             if args.beam_size > 1:
                 traces = decoder(params, jbatch)
                 out_ids = traces["pred_seq"]

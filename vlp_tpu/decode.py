@@ -73,12 +73,22 @@ def _gather_beams(x: jnp.ndarray, ptrs: jnp.ndarray, B: int, K: int
 
 
 class Decoder:
-    """Functional decoder bound to a model definition (params passed per call)."""
+    """Functional decoder bound to a model definition (params passed per call).
 
-    def __init__(self, model: VLPModel, cfg: VLPConfig, dp: DecodeParams):
+    Data-parallel decoding: pass ``mesh`` (with a ``data`` axis) and call
+    ``shard_inputs`` on (params, batch) before decoding — the batch is placed
+    sharded over the data axis, params replicated, and the jitted generation
+    loop parallelises by computation-follows-data (the reference is
+    single-GPU at inference, decode_img2txt.py:179-180 + README.md:205).
+    The decode path has no Pallas calls, so GSPMD partitions it freely.
+    """
+
+    def __init__(self, model: VLPModel, cfg: VLPConfig, dp: DecodeParams,
+                 mesh=None):
         self.model = model
         self.cfg = cfg
         self.dp = dp
+        self.mesh = mesh
         self._greedy = jax.jit(functools.partial(self._run_greedy,
                                                  sample=False,
                                                  train_mode=False))
@@ -128,6 +138,21 @@ class Decoder:
         out = self.model.apply({"params": params}, hidden, task_idx,
                                method=VLPModel.lm_logits)
         return out[:, 0, :]  # [B, V]
+
+    def shard_inputs(self, params, batch):
+        """Place params replicated and the batch sharded over the mesh's
+        ``data`` axis (no-op without a mesh).  Batch size must divide the
+        data-axis size."""
+        if self.mesh is None:
+            return params, batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(self.mesh, P())
+        params = jax.device_put(params, rep)
+        batch = {
+            k: jax.device_put(v, NamedSharding(
+                self.mesh, P("data", *([None] * (v.ndim - 1)))))
+            for k, v in batch.items()}
+        return params, batch
 
     # -- greedy / sample ---------------------------------------------------
     def _run_greedy(self, params, batch, rng, *, sample: bool,
