@@ -109,6 +109,38 @@ class TestDecodeCLI:
         assert len(preds) == 3
 
 
+class TestDataParallelCLI:
+    """batch_size divisible by the 8 virtual devices triggers the
+    data-parallel mesh branches in both eval CLIs."""
+
+    def test_decode_data_parallel(self, fixtures, capsys):
+        dec_out = os.path.join(fixtures["dir"], "dec_dp")
+        decode_cli.main([
+            "--synthetic_data", "--enable_butd", "--bert_model",
+            fixtures["vocab"], "--config_path", fixtures["cfg"],
+            "--new_segment_ids", "--batch_size", "8", "--beam_size", "2",
+            "--max_tgt_length", "4", "--len_vis_input", "6",
+            "--num_synthetic", "9", "--output_dir", dec_out])
+        assert "data-parallel decode over 8 devices" in capsys.readouterr().out
+        preds = json.load(open(os.path.join(dec_out,
+                                            "preds-random-val.json")))
+        assert len(preds) == 9
+
+    def test_vqa_data_parallel(self, fixtures, capsys):
+        out = os.path.join(fixtures["dir"], "vqa_dp")
+        vqa_cli.main([
+            "--synthetic_data", "--enable_butd", "--bert_model",
+            fixtures["vocab"], "--config_path", fixtures["cfg"],
+            "--new_segment_ids", "--batch_size", "8", "--len_vis_input", "6",
+            "--num_synthetic", "9", "--answer_vocab_file",
+            fixtures["answers"], "--output_dir", out])
+        assert ("data-parallel VQA eval over 8 devices"
+                in capsys.readouterr().out)
+        preds = json.load(open(os.path.join(out,
+                                            "vqa2-results-random-val.json")))
+        assert len(preds) == 9
+
+
 class TestVQACLI:
     def test_eval(self, fixtures):
         out = os.path.join(fixtures["dir"], "vqa_out")

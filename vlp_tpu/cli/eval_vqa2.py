@@ -114,8 +114,24 @@ def main(argv=None):
     model = ts.create_model(cfg, task="vqa2")
     template = ts.init_params(model, cfg, jax.random.PRNGKey(args.seed),
                               task="vqa2")
-    infer = jax.jit(lambda p, b: model.apply(
-        {"params": p}, b, method=VLPModel.vqa_inference))
+
+    def _infer(p, b):
+        return model.apply({"params": p}, b, method=VLPModel.vqa_inference)
+
+    # data-parallel eval over all local devices via shard_map (keeps the
+    # Pallas attention kernel per-shard; the reference evaluates on one GPU)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batch_size % n_dev == 0:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from vlp_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=n_dev, model=1)
+        print(f"data-parallel VQA eval over {n_dev} devices")
+        infer = jax.jit(shard_map(_infer, mesh=mesh,
+                                  in_specs=(P(), P("data")),
+                                  out_specs=P("data"), check_vma=False))
+    else:
+        infer = jax.jit(_infer)
 
     for model_recover_path in (glob.glob(args.model_recover_path.strip())
                                if args.model_recover_path else [None]):
