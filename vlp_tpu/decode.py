@@ -206,48 +206,87 @@ class Decoder:
         return self._sample(params, batch, rng)
 
     # -- beam search -------------------------------------------------------
-    def _forbid_mask(self, seqs: jnp.ndarray, t: jnp.ndarray, V: int
-                     ) -> jnp.ndarray:
-        """In-graph duplicate-ngram forbid mask [B*K, V].
+    def _forbidden_candidates(self, seqs: jnp.ndarray, t: jnp.ndarray, V: int
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Duplicate-ngram forbid set, as (candidate ids, flags) [B*K, W].
 
-        seqs: int32[B*K, T] committed tokens (cols > t are stale).
-        A token w is forbidden iff some i satisfies
-        seqs[i:i+n-1] == seqs[t-n+2:t+1] (the current tail) and
-        w == seqs[i+n-1], with the reference's ignore-set exemptions
-        (modeling.py:1391-1406).
+        seqs: int32[T, B*K] committed tokens, TIME-MAJOR (rows > t are
+        stale; the layout makes the beam loop's per-step commit a
+        leading-dim slab write instead of a serialised per-row update).
+        Token ``cand[i, b] = seqs[i+n-1, b]`` is forbidden iff window i
+        satisfies seqs[i:i+n-1] == seqs[t-n+2:t+1] (the current tail), with
+        the reference's ignore-set exemptions (modeling.py:1391-1406).
+        Returned as the (at most W = T-n+1 per row) candidate list instead of
+        a scattered [B*K, V] mask — scatter serialises on TPU.
         """
         dp = self.dp
         n = dp.ngram_size
-        BK, T = seqs.shape
+        T, BK = seqs.shape
         W = T - n + 1
         tail_start = t - (n - 2)  # index of first tail token; tail len = n-1
-        tail = jax.lax.dynamic_slice_in_dim(seqs, tail_start, n - 1, axis=1)
+        tail = jax.lax.dynamic_slice_in_dim(seqs, tail_start, n - 1, axis=0)
 
         ignore = jnp.zeros((V,), bool)
         for tok in dp.forbid_ignore_ids:
             ignore = ignore.at[tok].set(True)
-        tail_has_ignore = jnp.any(ignore[tail], axis=1)          # [BK]
+        tail_has_ignore = jnp.any(ignore[tail], axis=0)          # [BK]
 
-        # eq[b, i] = window i matches the tail
-        eq = jnp.ones((BK, W), bool)
+        # eq[i, b] = window i matches the tail
+        eq = jnp.ones((W, BK), bool)
         for j in range(n - 1):
-            eq = eq & (seqs[:, j:j + W] == tail[:, j:j + 1])
-        win_idx = jnp.arange(W)[None, :]
+            eq = eq & (seqs[j:j + W] == tail[j:j + 1])
+        win_idx = jnp.arange(W)[:, None]
         valid = win_idx + (n - 1) <= t                           # i+n-1 <= t
-        cand = seqs[:, n - 1:n - 1 + W]                          # seqs[i+n-1]
-        flag = eq & valid & ~ignore[cand] & ~tail_has_ignore[:, None]
+        cand = seqs[n - 1:n - 1 + W]                             # seqs[i+n-1]
+        flag = eq & valid & ~ignore[cand] & ~tail_has_ignore[None, :]
+        return cand.T, flag.T
 
-        mask = jnp.zeros((BK, V), jnp.float32)
-        mask = mask.at[jnp.arange(BK)[:, None], cand].max(
-            flag.astype(jnp.float32))
-        return mask
+    def _candidate_topk(self, logits: jnp.ndarray, seqs: jnp.ndarray,
+                        t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Exact top-K of the masked log-probs without materialising a
+        [B*K, V] mask or full log-softmax.
+
+        At most W = T-n+1 tokens per row can be ngram-forbidden and one more
+        (EOS) min-len-suppressed, so the true masked top-K always lies inside
+        the unmasked top-(K+W+1): take those candidates, apply the penalties
+        on the small [B*K, C] set, and re-top-K.  Log-probs come from
+        subtracting one logsumexp (same values as log_softmax to fp
+        rounding).  This replaces the reference's full-vocab mask add
+        (modeling.py:1296-1303 + 1426-1428) whose scatter lowering serialised
+        the TPU beam loop.
+        """
+        dp = self.dp
+        K = dp.beam_size
+        V = logits.shape[-1]
+        m = jnp.max(logits, axis=-1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[:, None]), axis=-1))
+
+        C = K
+        if dp.forbid_duplicate_ngrams:
+            C += seqs.shape[0] - dp.ngram_size + 1
+        if dp.min_len:
+            C += 1
+        C = min(C, V)
+        topv, topi = jax.lax.top_k(logits, C)                    # [B*K, C]
+        vals = topv - lse[:, None]
+        if dp.forbid_duplicate_ngrams:
+            cand, flag = self._forbidden_candidates(seqs, t - 1, V)
+            flag = flag & (t >= dp.ngram_size)
+            hit = jnp.any((topi[:, :, None] == cand[:, None, :])
+                          & flag[:, None, :], axis=-1)
+            vals = vals + hit * NEG
+        if dp.min_len:
+            vals = jnp.where((t + 1 <= dp.min_len) & (topi == dp.eos_id),
+                             NEG, vals)
+        kk_scores, idx = jax.lax.top_k(vals, K)                  # [B*K, K]
+        kk_ids = jnp.take_along_axis(topi, idx, axis=1)
+        return kk_scores, kk_ids
 
     def _run_beam(self, params, batch):
         cfg, dp = self.cfg, self.dp
         K = dp.beam_size
         B = batch["input_ids"].shape[0]
         T = dp.max_tgt_length
-        V = cfg.vocab_size
 
         hidden, pk, pv = self._prefill(params, batch)
         logits0 = self._logits(params, hidden, batch["task_idx"])
@@ -264,8 +303,11 @@ class Decoder:
         pos = _expand_beams(batch["position_ids"], K)
         task_idx = _expand_beams(batch["task_idx"], K)
 
-        seqs = jnp.zeros((B * K, T), jnp.int32)
-        seqs = seqs.at[:, 0].set(k_ids0.reshape(-1))
+        # committed tokens, TIME-MAJOR [T, B*K]: the per-step commit is then
+        # a leading-dim slab write (a dynamic column write serialises into
+        # B*K per-row updates on TPU)
+        seqs = jnp.zeros((T, B * K), jnp.int32)
+        seqs = seqs.at[0].set(k_ids0.reshape(-1))
 
         def body(carry, t):
             gk, gv, seqs, prev_ids, last_scores, last_eos = carry
@@ -273,17 +315,7 @@ class Decoder:
                 params, prev_ids[:, None], seg, pos, pk, pv, gk, gv, t - 1)
             logits = self.model.apply({"params": params}, hidden, task_idx,
                                       method=VLPModel.lm_logits)[:, 0, :]
-            logp = jax.nn.log_softmax(logits, axis=-1)           # [B*K, V]
-            if dp.forbid_duplicate_ngrams:
-                fm = self._forbid_mask(seqs, t - 1, V)
-                # active once the committed prefix has >= n tokens
-                fm = jnp.where(t >= dp.ngram_size, fm, 0.0)
-                logp = logp + fm * NEG
-            if dp.min_len:
-                logp = jnp.where(
-                    t + 1 <= dp.min_len,
-                    logp.at[:, dp.eos_id].set(NEG), logp)
-            kk_scores, kk_ids = jax.lax.top_k(logp, K)           # [B*K, K]
+            kk_scores, kk_ids = self._candidate_topk(logits, seqs, t)
             kk_scores = kk_scores + last_eos.reshape(-1, 1) * NEG \
                 + last_scores.reshape(-1, 1)
             kk_scores = kk_scores.reshape(B, K * K)
@@ -296,8 +328,10 @@ class Decoder:
             # pointers, then commit (the prompt caches need no reordering)
             gk = jax.vmap(lambda c: _gather_beams(c, back_ptrs, B, K))(gk)
             gv = jax.vmap(lambda c: _gather_beams(c, back_ptrs, B, K))(gv)
-            seqs = _gather_beams(seqs, back_ptrs, B, K)
-            seqs = seqs.at[:, t].set(k_ids.reshape(-1))
+            flat = (jnp.arange(B)[:, None] * K
+                    + back_ptrs.astype(jnp.int32)).reshape(-1)
+            seqs = jnp.take(seqs, flat, axis=1)
+            seqs = seqs.at[t].set(k_ids.reshape(-1))
 
             eos = (k_ids == dp.eos_id).astype(jnp.float32)
             carry = (gk, gv, seqs, k_ids.reshape(-1), k_scores, eos)

@@ -172,41 +172,35 @@ class TransformerLayer(nn.Module):
                                          dropout_rng=rng)
         return self._post_attention(self._merge(ctx), x, deterministic)
 
-    def incremental(self, x: Array, cache_k: Array, cache_v: Array,
-                    cache_len: Array,
-                    deterministic: bool = True) -> Tuple[Array, Array, Array]:
-        """KV-cached step over a single flat cache (used by ``prefill``):
-        ``x`` is [B, S, H] new tokens at absolute positions
-        ``cache_len .. cache_len+S-1``.  All S tokens' K/V are written into the
-        cache (the trailing [MASK] probe slot is overwritten next step).
-        Returns (layer_out, new_cache_k, new_cache_v)."""
+    def prefill_attend(self, x: Array, prefix: int,
+                       deterministic: bool = True
+                       ) -> Tuple[Array, Array, Array]:
+        """Prompt-window attention without a cache: ``x`` is [B, P+1, H]
+        (prompt + [MASK] probe) at absolute positions 0..P.  Returns
+        (layer_out, k, v) — k/v ARE the cache content (no zeros-buffer
+        dynamic_update_slice copy; profiled at ~24 full-buffer copies per
+        prefill with the cache-based path)."""
         cfg = self.cfg
-        B, S, _ = x.shape
-        q = self._heads(self.q_proj(x))   # [B,Hh,S,D]
+        B, L, _ = x.shape
+        q = self._heads(self.q_proj(x))   # [B,Hh,L,D]
         k = self._heads(self.k_proj(x))
         v = self._heads(self.v_proj(x))
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.astype(cache_k.dtype), (0, 0, cache_len, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.astype(cache_v.dtype), (0, 0, cache_len, 0))
-        L = cache_k.shape[2]
-        # decode-time s2s visibility (seq2seq_loader.py:423-429): the
-        # [CLS] regions [SEP] prefix is bidirectionally visible to every
-        # query; generated tokens are causally visible (j <= cache_len + s).
-        jpos = jnp.arange(L)[None, :]
-        spos = cache_len + jnp.arange(S)[:, None]
-        visible = (jpos < cfg.prefix_len) | (jpos <= spos)
-        bias = jnp.where(visible, 0.0, mask_ops.NEG_INF)[None, None]
-        scores = jnp.einsum("bhsd,bhjd->bhsj", q, cache_k,
+        # decode-time s2s visibility (seq2seq_loader.py:423-429): prompt
+        # bidirectional, probe causal
+        i = jnp.arange(L)[:, None]
+        j = jnp.arange(L)[None, :]
+        bias = jnp.where((j < prefix) | (j <= i), 0.0,
+                         mask_ops.NEG_INF)[None, None]
+        scores = jnp.einsum("bhsd,bhjd->bhsj", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(cfg.head_dim) + bias
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         probs = self.attn_dropout(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhsj,bhjd->bhsd", probs.astype(x.dtype), cache_v,
+        ctx = jnp.einsum("bhsj,bhjd->bhsd", probs.astype(x.dtype), v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = self._post_attention(self._merge(ctx), x,
                                    deterministic=deterministic)
-        return out, cache_k, cache_v
+        return out, k, v
 
     def incremental_split(self, x: Array, pk: Array, pv: Array, gk: Array,
                           gv: Array, gen_len,
@@ -225,7 +219,11 @@ class TransformerLayer(nn.Module):
             K-fold via an einsum over a [B, K, ...] query layout.
           * ``gk``/``gv``  [B*K, H, G, D] — generated tokens only (G ≈ 24
             slots instead of the padded 128-token sequence), the only part
-            beam reordering has to gather.
+            beam reordering has to gather.  The per-step write uses a fused
+            one-hot select over the G dim instead of dynamic_update_slice: a
+            dynamic offset on an interior dim lowers to a serial per-row loop
+            on TPU (profiled at ~40% of the beam step), while the select is
+            one elementwise pass over the small cache.
 
         ``x``: [B*K, S, hidden] new tokens at generated positions
         ``gen_len .. gen_len+S-1`` (absolute ``prefix_len + gen_len`` ...).
@@ -239,11 +237,14 @@ class TransformerLayer(nn.Module):
         q = self._heads(self.q_proj(x))   # [B*K, Hh, S, D]
         k = self._heads(self.k_proj(x))
         v = self._heads(self.v_proj(x))
-        gk = jax.lax.dynamic_update_slice(
-            gk, k.astype(gk.dtype), (0, 0, gen_len, 0))
-        gv = jax.lax.dynamic_update_slice(
-            gv, v.astype(gv.dtype), (0, 0, gen_len, 0))
-        Hh, G, D = gk.shape[1], gk.shape[2], gk.shape[3]
+        G = gk.shape[2]
+        # fused one-hot update of slots gen_len..gen_len+S-1
+        slots = jnp.arange(G)
+        for s in range(S):
+            sel = (slots == gen_len + s)[None, None, :, None]
+            gk = jnp.where(sel, k[:, :, s:s + 1].astype(gk.dtype), gk)
+            gv = jnp.where(sel, v[:, :, s:s + 1].astype(gv.dtype), gv)
+        Hh, D = gk.shape[1], gk.shape[3]
         P = pk.shape[2]
         scale = 1.0 / math.sqrt(cfg.head_dim)
 
@@ -482,32 +483,11 @@ class VLPModel(nn.Module):
     # ------------------------------------------------------------------
     # Incremental generation primitives (BertForSeq2SeqDecoder parity).
     # ------------------------------------------------------------------
-    def init_cache(self, batch_size: int,
-                   length: Optional[int] = None) -> Tuple[Array, Array]:
-        cfg = self.cfg
-        shape = (cfg.num_hidden_layers, batch_size, cfg.num_attention_heads,
-                 cfg.seq_len if length is None else length, cfg.head_dim)
-        dt = jnp.dtype(cfg.dtype)
-        return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
-
     @staticmethod
     def gen_cache_slots(max_tgt_length: int) -> int:
         """Generated-token cache size: max committed tokens + probe slot,
         rounded up for TPU-friendly tiling."""
         return -(-(max_tgt_length) // 8) * 8
-
-    def _incremental_stack(self, x: Array, cache_k: Array, cache_v: Array,
-                           cache_len,
-                           deterministic: bool = True
-                           ) -> Tuple[Array, Array, Array]:
-        new_k, new_v = [], []
-        for i, layer in enumerate(self.layers):
-            x, ck, cv = layer.incremental(x, cache_k[i], cache_v[i],
-                                          cache_len,
-                                          deterministic=deterministic)
-            new_k.append(ck)
-            new_v.append(cv)
-        return x, jnp.stack(new_k), jnp.stack(new_v)
 
     def _split_stack(self, x: Array, pk: Array, pv: Array, gk: Array,
                      gv: Array, gen_len,
@@ -545,10 +525,13 @@ class VLPModel(nn.Module):
                                       deterministic=deterministic)
         x = self.embeddings(ids, seg, pos, vf, vp,
                             deterministic=deterministic)
-        cache_k, cache_v = self.init_cache(B, length=prefix + 1)
-        x, cache_k, cache_v = self._incremental_stack(
-            x, cache_k, cache_v, 0, deterministic=deterministic)
-        return x[:, -1:, :], cache_k[:, :, :, :prefix], cache_v[:, :, :, :prefix]
+        ks, vs = [], []
+        for layer in self.layers:
+            x, k, v = layer.prefill_attend(x, prefix,
+                                           deterministic=deterministic)
+            ks.append(k[:, :, :prefix])   # drop the probe's K/V
+            vs.append(v[:, :, :prefix])
+        return x[:, -1:, :], jnp.stack(ks), jnp.stack(vs)
 
     def decode_step(self, prev_ids: Array, segment_ids: Array,
                     position_ids: Array, pk: Array, pv: Array, gk: Array,
