@@ -66,7 +66,10 @@ def main():
         loss, grads, metrics = trainer.loss_and_grads(st.params, batch,
                                                       gt_ids, rng)
         st = apply_update(st, grads)
-        jax.tree_util.tree_leaves(st.params)[0].block_until_ready()
+        # fetch a scalar from the updated params: block_until_ready is NOT a
+        # barrier over the axon tunnel (see .claude/skills/verify/SKILL.md)
+        leaf = jax.tree_util.tree_leaves(st.params)[0]
+        float(leaf.ravel()[0])
         return st, float(loss), metrics
 
     state, loss, m = one_step(state, 0)  # compile

@@ -45,7 +45,7 @@ def main():
     def canon(name):
         if args.keep_ids:
             return name
-        return re.sub(r"[.\d]+$", "", name)
+        return re.sub(r"(\.\d+)+$", "", name)
 
     excl = collections.Counter()
     cnt = collections.Counter()

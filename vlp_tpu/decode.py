@@ -141,8 +141,8 @@ class Decoder:
 
     def shard_inputs(self, params, batch):
         """Place params replicated and the batch sharded over the mesh's
-        ``data`` axis (no-op without a mesh).  Batch size must divide the
-        data-axis size."""
+        ``data`` axis (no-op without a mesh).  The data-axis size must
+        divide the batch size."""
         if self.mesh is None:
             return params, batch
         from jax.sharding import NamedSharding, PartitionSpec as P

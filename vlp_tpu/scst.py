@@ -101,7 +101,7 @@ class SCSTTrainer:
         computation as Decoder.sample (incl. identical dropout masks when
         ``drop_rng`` is the rollout's dropout key) with the token choice
         pinned."""
-        cfg, dp = self.cfg, self.dp
+        dp = self.dp
 
         def rngs_kw(i):
             if drop_rng is None:
@@ -113,12 +113,7 @@ class SCSTTrainer:
             {"params": params}, batch["input_ids"], batch["segment_ids"],
             batch["position_ids"], batch["vis_feats"], batch["vis_pe"],
             dp.mask_id, method=VLPModel.prefill, **rngs_kw(0))
-        B = batch["input_ids"].shape[0]
-        G = VLPModel.gen_cache_slots(dp.max_tgt_length)
-        gshape = (cfg.num_hidden_layers, B, cfg.num_attention_heads, G,
-                  cfg.head_dim)
-        gk = jnp.zeros(gshape, jnp.dtype(cfg.dtype))
-        gv = jnp.zeros(gshape, jnp.dtype(cfg.dtype))
+        gk, gv = self.decoder._init_gen_cache(batch["input_ids"].shape[0])
         logits0 = self.model.apply({"params": params}, hidden,
                                    batch["task_idx"],
                                    method=VLPModel.lm_logits)[:, 0, :]
