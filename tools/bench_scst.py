@@ -35,7 +35,6 @@ def main():
     from vlp_tpu.data.example_builder import DecodeExampleBuilder, collate
     from vlp_tpu.parallel import train_step as ts
     from vlp_tpu.scst import SCSTTrainer
-    import optax
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = VLPConfig(use_pallas_attention=on_tpu)
@@ -43,7 +42,7 @@ def main():
     state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
                                       lr=1e-6, warmup=0.1, t_total=100000)
     trainer = SCSTTrainer(model, cfg, mask_id=103, eos_id=102, pad_id=0,
-                          max_tgt_length=cfg.max_len_b)
+                          max_tgt_length=cfg.max_len_b, tx=tx)
 
     B, T = args.batch, cfg.max_len_b
     rng_np = np.random.default_rng(0)
@@ -55,22 +54,14 @@ def main():
     gt_ids = rng_np.integers(1000, 5000, (B, T)).astype(np.int64)
     gt_ids[:, 10:] = 0  # captions ~10 tokens
 
-    @jax.jit
-    def apply_update(st, grads):
-        updates, new_opt = tx.update(grads, st.opt_state, st.params)
-        return st._replace(params=optax.apply_updates(st.params, updates),
-                           opt_state=new_opt, step=st.step + 1)
-
     def one_step(st, i):
         rng = jax.random.PRNGKey(i)
-        loss, grads, metrics = trainer.loss_and_grads(st.params, batch,
-                                                      gt_ids, rng)
-        st = apply_update(st, grads)
+        st, loss, metrics = trainer.step(st, batch, gt_ids, rng)
         # fetch a scalar from the updated params: block_until_ready is NOT a
         # barrier over the axon tunnel (see .claude/skills/verify/SKILL.md)
         leaf = jax.tree_util.tree_leaves(st.params)[0]
         float(leaf.ravel()[0])
-        return st, float(loss), metrics
+        return st, loss, metrics
 
     state, loss, m = one_step(state, 0)  # compile
     print(f"warmup loss {loss:.4f} mean_reward {m['mean_reward']:.3f}")

@@ -278,9 +278,7 @@ def main(argv=None):
         sp = tokenizer.vocab
         scst_trainer = SCSTTrainer(
             model, cfg, mask_id=sp["[MASK]"], eos_id=sp["[SEP]"],
-            pad_id=sp["[PAD]"], max_tgt_length=cfg.max_len_b)
-        scst_update = jax.jit(
-            lambda st, grads: _apply(tx, st, grads))
+            pad_id=sp["[PAD]"], max_tgt_length=cfg.max_len_b, tx=tx)
     elif args.device_loop_steps > 1:
         multi_fn = jax.jit(ts.make_multi_step(
             model, tx, mask_image_regions=args.mask_image_regions,
@@ -339,9 +337,8 @@ def main(argv=None):
                     # (run_img2txt_dist.py:517: input_ids[:, len_vis+2:])
                     gt = np.asarray(batch["input_ids"][:,
                                     prefix:prefix + cfg.max_len_b + 1])
-                    loss, grads, m = scst_trainer.loss_and_grads(
-                        state.params, dec_batch, gt, rng)
-                    state = scst_update(state, grads)
+                    state, loss, m = scst_trainer.step(
+                        state, dec_batch, gt, rng)
                     metrics = {"loss": loss, **m}
                 else:
                     ratio = (args.max_drop_worst_ratio
@@ -379,13 +376,6 @@ def main(argv=None):
                 multihost_utils.sync_global_devices(f"epoch_{i_epoch}")
         metrics_f.close()
     return state
-
-
-def _apply(tx, state, grads):
-    import optax
-    updates, new_opt = tx.update(grads, state.opt_state, state.params)
-    return state._replace(params=optax.apply_updates(state.params, updates),
-                          opt_state=new_opt, step=state.step + 1)
 
 
 def _scst_decode_batch(jbatch, cfg):

@@ -28,6 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from vlp_tpu import losses as losses_lib
 from vlp_tpu.config import VLPConfig
@@ -80,10 +81,17 @@ def get_self_critical_reward(greedy_res: np.ndarray, gt_ids: np.ndarray,
 
 
 class SCSTTrainer:
-    """SCST loss + grads for one batch (optimizer applied by the caller)."""
+    """SCST loss + grads for one batch (optimizer applied by the caller, or
+    fused into the step when ``tx`` is given).
+
+    Device-dispatch budget per step: the reference's loop body is dozens of
+    kernel launches; here it is THREE dispatches (both rollouts fused in
+    one, the host CIDEr reward in between, grads+update in one) — dispatch
+    latency is real on remote TPU runtimes."""
 
     def __init__(self, model: VLPModel, cfg: VLPConfig, *, mask_id: int,
-                 eos_id: int, pad_id: int = 0, max_tgt_length: int = 20):
+                 eos_id: int, pad_id: int = 0, max_tgt_length: int = 20,
+                 tx=None):
         self.cfg = cfg
         self.model = model
         self.eos_id = eos_id
@@ -94,6 +102,32 @@ class SCSTTrainer:
         self.decoder = Decoder(model, cfg, self.dp)
         self._loss_grad = jax.jit(jax.value_and_grad(self._pg_loss,
                                                      has_aux=True))
+        self._both_rollouts = jax.jit(self._run_both_rollouts)
+        self.tx = tx
+        if tx is not None:
+            self._grad_update = jax.jit(self._run_grad_update,
+                                        donate_argnums=(0,))
+
+    def _run_both_rollouts(self, params, batch, rng):
+        """Greedy baseline (eval mode) + sampled rollout (train mode, dropout
+        on) in ONE compiled program (run_img2txt_dist.py:494-507)."""
+        greedy_ids, _ = self.decoder._run_greedy(params, batch,
+                                                 jax.random.PRNGKey(0),
+                                                 sample=False,
+                                                 train_mode=False)
+        sample_ids, _ = self.decoder._run_greedy(params, batch, rng,
+                                                 sample=True, train_mode=True)
+        return greedy_ids, sample_ids
+
+    def _run_grad_update(self, state, batch, gen_result, reward, drop_rng):
+        (loss, metrics), grads = jax.value_and_grad(
+            self._pg_loss, has_aux=True)(state.params, batch, gen_result,
+                                         reward, drop_rng)
+        updates, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state._replace(params=new_params, opt_state=new_opt,
+                              step=state.step + 1), loss, metrics
 
     # -- differentiable forced rollout ------------------------------------
     def _forced_logprobs(self, params, batch, forced_ids, drop_rng=None):
@@ -149,10 +183,8 @@ class SCSTTrainer:
     # -- public API --------------------------------------------------------
     def rollouts(self, params, batch, rng):
         """Greedy baseline in eval mode, sample in train mode (dropout on),
-        matching run_img2txt_dist.py:494-507."""
-        greedy_ids, _ = self.decoder.greedy(params, batch)
-        sample_ids, _ = self.decoder.sample(params, batch, rng,
-                                            train_mode=True)
+        matching run_img2txt_dist.py:494-507 — one device dispatch."""
+        greedy_ids, sample_ids = self._both_rollouts(params, batch, rng)
         greedy = clean_rollout(np.asarray(greedy_ids), self.eos_id, self.pad_id)
         sample = clean_rollout(np.asarray(sample_ids), self.eos_id, self.pad_id)
         return greedy, sample
@@ -171,3 +203,16 @@ class SCSTTrainer:
             drop_rng)
         metrics = dict(metrics, mean_reward=float(reward[:, 0].mean()))
         return loss, grads, metrics
+
+    def step(self, state, batch, gt_ids: np.ndarray, rng):
+        """Full SCST update (requires ``tx`` at construction): rollouts ->
+        host CIDEr reward -> fused policy-gradient + BertAdam dispatch.
+        Returns (new_state, loss, metrics)."""
+        assert self.tx is not None, "pass tx= to SCSTTrainer for step()"
+        greedy, sample = self.rollouts(state.params, batch, rng)
+        reward = get_self_critical_reward(greedy, gt_ids, sample)
+        _, drop_rng = jax.random.split(rng)
+        state, loss, metrics = self._grad_update(
+            state, batch, jnp.asarray(sample), jnp.asarray(reward), drop_rng)
+        metrics = dict(metrics, mean_reward=float(reward[:, 0].mean()))
+        return state, float(loss), metrics
