@@ -89,6 +89,34 @@ class TestTrainLoader:
         for k in b1:
             np.testing.assert_array_equal(b1[k], b2[k])
 
+    def test_slab_mode_matches_fresh(self):
+        """Recycled feature slabs must yield byte-identical batches to the
+        allocate-per-batch path (consumed immediately, per the contract)."""
+        cfg = tiny_cfg()
+        fresh = [{k: v.copy() for k, v in b.items()}
+                 for b in self.make(cfg, seed=7).epoch(2)]
+        slab_loader = self.make(cfg, seed=7, feature_slab_slots=6)
+        for i, b in enumerate(slab_loader.epoch(2)):
+            for k in b:
+                np.testing.assert_array_equal(b[k], fresh[i][k], err_msg=k)
+        assert i == len(fresh) - 1
+
+    def test_producer_error_propagates(self):
+        """A failing feature fetch must raise in the consumer, not hang."""
+        cfg = tiny_cfg()
+        loader = self.make(cfg)
+
+        class Boom(Exception):
+            pass
+
+        def explode(key):
+            raise Boom(key)
+
+        loader.store.get = explode
+        import pytest as _pytest
+        with _pytest.raises(Boom):
+            list(loader.epoch(0))
+
     def test_epochs_reshuffle(self):
         cfg = tiny_cfg()
         loader = self.make(cfg)

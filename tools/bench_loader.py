@@ -1,0 +1,88 @@
+"""Host data-pipeline throughput: can the loader feed the chip?
+
+The TPU train step consumes ~1080 samples/sec/chip (bench.py); the reference
+was input-bound at eval (README.md:205).  This measures TrainLoader
+end-to-end (index shuffle -> feature store gather -> tokenize/mask/build ->
+collate) in samples/sec on this host, with the synthetic store (no disk) and
+optionally a packed native store (--packed FILE).
+
+Usage: python tools/bench_loader.py [--batch 128] [--batches 30]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batches", type=int, default=30)
+    ap.add_argument("--num_workers", type=int, default=4)
+    ap.add_argument("--packed", default="")
+    ap.add_argument("--slab_slots", type=int, default=0,
+                    help="recycled feature-buffer pool size (0 = allocate "
+                         "fresh arrays per batch)")
+    args = ap.parse_args()
+
+    from vlp_tpu.config import VLPConfig
+    from vlp_tpu.data.dataset import CaptionExample
+    from vlp_tpu.data.example_builder import TrainExampleBuilder
+    from vlp_tpu.data.features import make_store
+    from vlp_tpu.data.loader import TrainLoader
+
+    cfg = VLPConfig(max_pred=20)
+    rng = np.random.default_rng(0)
+    n_examples = args.batch * args.batches
+    n_keys = 512  # packed fixture size; cycle keys beyond it
+    words = [f"w{i}" for i in range(1000)]
+    examples = [
+        CaptionExample(f"img_{i % n_keys}.npy",
+                       [words[rng.integers(0, 1000)] for _ in range(12)],
+                       image_id=i)
+        for i in range(n_examples)]
+    if args.packed:
+        from vlp_tpu.data.native_store import PackedFeatureStore
+        store = PackedFeatureStore(args.packed)
+    else:
+        store = make_store(synthetic=True, num_regions=cfg.len_vis_input,
+                           feat_dim=cfg.vis_feat_dim,
+                           cls_dim=cfg.vis_cls_dim)
+
+    vocab = {w: i + 10 for i, w in enumerate(words)}
+    vocab.update({"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,
+                  "[MASK]": 4})
+    builders = [
+        TrainExampleBuilder(cfg, vocab, mode="s2s", mask_prob=0.15,
+                            max_pred=cfg.max_pred, new_segment_ids=True),
+        TrainExampleBuilder(cfg, vocab, mode="bi", mask_prob=0.15,
+                            max_pred=cfg.max_pred, new_segment_ids=True),
+    ]
+    loader = TrainLoader(examples, store, builders, [0.75, 0.25],
+                         args.batch, num_workers=args.num_workers,
+                         feature_slab_slots=args.slab_slots)
+
+    # warm-up: thread-pool spin-up + one rotation through the slab pool
+    # (each slab slot pays first-touch page faults exactly once)
+    warm = (args.slab_slots or 0) + 1
+    it = loader.epoch(0)
+    for _ in range(warm):
+        next(it)
+    t0 = time.perf_counter()
+    n = 0
+    for batch in it:
+        n += args.batch
+    dt = time.perf_counter() - t0
+    print(f"loader: {n / dt:.1f} samples/sec on host "
+          f"({args.num_workers} workers, B={args.batch}); "
+          f"chip consumes ~1080/s -> "
+          f"{'OK' if n / dt > 1080 else 'INPUT-BOUND'}")
+
+
+if __name__ == "__main__":
+    main()

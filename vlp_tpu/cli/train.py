@@ -220,11 +220,14 @@ def main(argv=None):
                 TrainExampleBuilder(cfg, tokenizer.vocab, mode="bi",
                                     **builder_kw)]
     micro = args.train_batch_size // args.gradient_accumulation_steps
+    # recycle feature batch buffers: sized to cover the prefetch queue plus
+    # the device-loop's pending stack (which holds K batches before copying)
+    slab_slots = 4 + 2 + max(args.device_loop_steps, 1) + 1
     loader = TrainLoader(
         examples, store, builders, [args.s2s_prob, args.bi_prob],
         batch_size=args.train_batch_size, num_workers=args.num_workers,
         seed=args.seed, process_index=jax.process_index(),
-        process_count=jax.process_count())
+        process_count=jax.process_count(), feature_slab_slots=slab_slots)
     steps_per_epoch = len(loader)
     if args.steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)

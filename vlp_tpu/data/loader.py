@@ -31,7 +31,16 @@ class TrainLoader:
                  builder_probs: Sequence[float], batch_size: int, *,
                  num_workers: int = 4, prefetch: int = 4, seed: int = 42,
                  process_index: int = 0, process_count: int = 1,
-                 drop_last: bool = True):
+                 drop_last: bool = True, feature_slab_slots: int = 0):
+        """``feature_slab_slots`` > 0 recycles that many preallocated
+        region-feature batch buffers instead of allocating ~190MB of fresh
+        arrays per batch (first-touch page faults on fresh allocations can
+        throttle the host pipeline to well below the chip's consumption
+        rate).  CONTRACT when enabled: a yielded batch's ``vis_feats`` /
+        ``vis_pe`` are only valid until ``feature_slab_slots - prefetch - 1``
+        further batches have been drawn — consumers that retain batches
+        (e.g. device-loop stacking) must size the pool accordingly or copy.
+        """
         assert abs(sum(builder_probs) - 1.0) < 1e-6
         self.examples = list(examples)
         self.store = store
@@ -44,6 +53,10 @@ class TrainLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.drop_last = drop_last
+        self.feature_slab_slots = feature_slab_slots
+        if feature_slab_slots:
+            assert feature_slab_slots >= prefetch + 2, \
+                "slab pool must cover the prefetch queue plus in-flight batches"
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
         """Shuffled, padded, per-host-sharded indices
@@ -62,31 +75,82 @@ class TrainLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _build_one(self, ex_idx: int, sample_seed: int) -> Dict[str, np.ndarray]:
+    def _build_one(self, ex_idx: int, sample_seed: int, feat_out=None,
+                   pe_out=None) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(sample_seed)
         ex = self.examples[ex_idx]
         b = self.builders[rng.choice(len(self.builders), p=self.builder_probs)]
-        feat, pe = self.store.get(ex.feature_key)
+        if feat_out is not None:
+            if hasattr(self.store, "get_into"):
+                self.store.get_into(ex.feature_key, feat_out, pe_out)
+            else:
+                feat, pe = self.store.get(ex.feature_key)
+                feat_out[:] = feat
+                pe_out[:] = pe
+            feat, pe = feat_out, pe_out
+        else:
+            feat, pe = self.store.get(ex.feature_key)
         return b(ex.tokens, feat, pe, rng, ans_scores=getattr(ex, "ans_scores",
                                                               None))
+
+    def _make_slabs(self):
+        """Preallocate the recycled region-feature buffers.  Pages fault
+        lazily on the first rotation through the pool (the first
+        ``feature_slab_slots`` batches run at first-touch speed, everything
+        after is warm — unlike fresh per-batch allocations, which pay the
+        fault cost on EVERY batch)."""
+        feat, pe = self.store.get(self.examples[0].feature_key)
+        return [(np.empty((self.batch_size,) + feat.shape, np.float32),
+                 np.empty((self.batch_size,) + pe.shape, np.float32))
+                for _ in range(self.feature_slab_slots)]
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         idx = self.epoch_indices(epoch)
         nb = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        slabs = self._make_slabs() if self.feature_slab_slots else None
+
+        def build_slice(pairs, fs, ps):
+            return [self._build_one(i, s,
+                                    feat_out=None if fs is None else fs[j],
+                                    pe_out=None if ps is None else ps[j])
+                    for j, i, s in pairs]
 
         def producer():
+            try:
+                _produce()
+            except BaseException as e:  # surface in the consumer, not a hang
+                q.put(e)
+
+        def _produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(nb):
                     lo = b * self.batch_size
                     chunk = idx[lo:lo + self.batch_size]
-                    seeds = [int(self.seed * 1_000_003 + epoch * 7919
-                                 + int(i) * 31 + j)
+                    pairs = [(j, int(i),
+                              int(self.seed * 1_000_003 + epoch * 7919
+                                  + int(i) * 31 + j))
                              for j, i in enumerate(chunk)]
-                    futs = [pool.submit(self._build_one, int(i), s)
-                            for i, s in zip(chunk, seeds)]
-                    batch = collate([f.result() for f in futs])
+                    fs, ps = slabs[b % len(slabs)] if slabs else (None, None)
+                    # one task per worker, NOT per example: a future
+                    # handoff costs a GIL wake (~ms on busy hosts), which at
+                    # per-example granularity starves the accelerator
+                    w = max(1, self.num_workers)
+                    per = -(-len(pairs) // w)
+                    futs = [pool.submit(build_slice, pairs[k:k + per], fs, ps)
+                            for k in range(0, len(pairs), per)]
+                    built = [ex for f in futs for ex in f.result()]
+                    if slabs is None:
+                        batch = collate(built)
+                    else:
+                        # the feature slabs already hold every row in order;
+                        # stack only the small per-example arrays
+                        batch = {k: np.stack([e[k] for e in built])
+                                 for k in built[0]
+                                 if k not in ("vis_feats", "vis_pe")}
+                        batch["vis_feats"] = fs
+                        batch["vis_pe"] = ps
                     while not stop.is_set():
                         try:
                             q.put(batch, timeout=0.5)
@@ -104,6 +168,8 @@ class TrainLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

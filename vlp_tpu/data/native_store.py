@@ -117,16 +117,28 @@ class PackedFeatureStore:
         return int(self.lib.vlps_find(self.handle, self._key(key).encode()))
 
     def get(self, key: str) -> Tuple[np.ndarray, np.ndarray]:
+        feat = np.empty((self.n_regions, self.feat_dim), np.float32)
+        pe = np.empty((self.n_regions, self.pe_dim), np.float32)
+        self.get_into(key, feat, pe)
+        return feat, pe
+
+    def get_into(self, key: str, feat_out: np.ndarray,
+                 pe_out: np.ndarray) -> None:
+        """Zero-allocation fetch: featurize directly into caller-provided
+        C-contiguous float32 buffers of shape (n_regions, feat_dim) /
+        (n_regions, pe_dim) — lets the loader recycle batch slabs instead of
+        allocating per example (first-touch page faults on fresh
+        allocations dominate host pipeline time otherwise)."""
         idx = np.asarray([self.find(key)], np.int64)
         if idx[0] < 0:
             raise KeyError(key)
-        feat = np.empty((1, self.n_regions * self.feat_dim), np.float32)
-        pe = np.empty((1, self.n_regions * self.pe_dim), np.float32)
-        rc = self.lib.vlps_batch_featurize(self.handle, idx, 1, feat, pe, 1)
+        assert feat_out.shape == (self.n_regions, self.feat_dim)
+        assert pe_out.shape == (self.n_regions, self.pe_dim)
+        rc = self.lib.vlps_batch_featurize(
+            self.handle, idx, 1, feat_out.reshape(1, -1),
+            pe_out.reshape(1, -1), 1)
         if rc != 0:
             raise KeyError(key)
-        return (feat.reshape(self.n_regions, self.feat_dim),
-                pe.reshape(self.n_regions, self.pe_dim))
 
     def batch_get(self, keys: Sequence[str]
                   ) -> Tuple[np.ndarray, np.ndarray]:
