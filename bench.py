@@ -12,7 +12,9 @@ per-GPU number.
 
 The benchmarked step is the full pretraining update: bert-base VLP model,
 joint s2s/bi batch, masked-LM + region-pretext losses, region masking,
-Pallas fused attention, bf16 activations, BertAdam — jitted end to end.
+Pallas fused attention, bf16 activations, BertAdam — jitted end to end,
+K=20 steps scanned per dispatch, dropout masks from the hardware rbg
+PRNG stream (train_step.fast_prng_key).
 """
 
 import json
@@ -46,7 +48,7 @@ def main():
                     donate_argnums=(0,))
 
     B = 128 if on_tpu else 8
-    K = 10 if on_tpu else 2
+    K = 20 if on_tpu else 2
     batch = _example_batch(cfg, B, seed=0)
     # stack K per-step batches on device (features re-drawn per step so the
     # memory traffic is realistic; host->device transfer happens once)
@@ -58,13 +60,13 @@ def main():
 
     # warmup/compile (fetch the scalar: through the axon tunnel,
     # block_until_ready alone does not guarantee completion)
-    state, m = multi(state, stacked, jax.random.PRNGKey(0), 0.0)
+    state, m = multi(state, stacked, ts.fast_prng_key(0), 0.0)
     float(m["loss"][-1])
 
     outer = 3 if on_tpu else 1
     t0 = time.perf_counter()
     for i in range(outer):
-        state, m = multi(state, stacked, jax.random.PRNGKey(i + 1), 0.0)
+        state, m = multi(state, stacked, ts.fast_prng_key(i + 1), 0.0)
         float(m["loss"][-1])  # force completion
     dt = time.perf_counter() - t0
 

@@ -188,3 +188,31 @@ class TestDeviceLoopMultiChip:
         st, metrics = multi(st, stacked, jax.random.PRNGKey(4), 0.0)
         assert metrics["loss"].shape == (K,)
         assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+
+class TestFastPrngKey:
+    def test_rbg_key_through_train_and_decode(self, setup, rng):
+        """fast_prng_key(fast=True) (the default TPU dropout stream, XLA
+        RngBitGenerator) must flow through fold_in/split, flax dropout, the
+        multi-step scan, and the sampling decoder."""
+        cfg, model, state, tx = setup
+        key = ts.fast_prng_key(3, fast=True)
+        batch = make_batch(cfg, 4, rng)
+
+        step = jax.jit(ts.make_train_step(model, tx))
+        s1, m1 = step(state, batch, key, 0.0)
+        assert np.isfinite(float(m1["loss"]))
+
+        stacked = {k: jnp.stack([v, v]) for k, v in batch.items()}
+        multi = jax.jit(ts.make_multi_step(model, tx))
+        s2, m2 = multi(state, stacked, jax.random.fold_in(key, 1), 0.0)
+        assert np.isfinite(np.asarray(m2["loss"])).all()
+
+        from vlp_tpu.decode import DecodeParams, Decoder
+        from tests.test_decode import decode_batch
+        dp = DecodeParams(mask_id=4, eos_id=5, max_tgt_length=4)
+        dec = Decoder(model, cfg, dp)
+        dbatch = decode_batch(cfg, 2, rng)
+        ids, lps = dec.sample(s1.params, dbatch, jax.random.fold_in(key, 2),
+                              train_mode=True)
+        assert ids.shape == (2, 4) and np.isfinite(np.asarray(lps)).all()

@@ -55,7 +55,7 @@ def main():
     gt_ids[:, 10:] = 0  # captions ~10 tokens
 
     def one_step(st, i):
-        rng = jax.random.PRNGKey(i)
+        rng = ts.fast_prng_key(i)
         st, loss, metrics = trainer.step(st, batch, gt_ids, rng)
         # fetch a scalar from the updated params: block_until_ready is NOT a
         # barrier over the axon tunnel (see .claude/skills/verify/SKILL.md)

@@ -45,11 +45,11 @@ def main():
         stacked["vis_feats"] = jax.random.normal(
             jax.random.PRNGKey(7), (K, B, cfg.len_vis_input, cfg.vis_feat_dim),
             jnp.float32)
-        state, m = multi(state, stacked, jax.random.PRNGKey(0), 0.0)
+        state, m = multi(state, stacked, ts.fast_prng_key(0), 0.0)
         float(m["loss"][-1])  # force completion through the tunnel
         t0 = time.perf_counter()
         for i in range(args.outer):
-            state, m = multi(state, stacked, jax.random.PRNGKey(i + 1), 0.0)
+            state, m = multi(state, stacked, ts.fast_prng_key(i + 1), 0.0)
             float(m["loss"][-1])
         dt = time.perf_counter() - t0
         sps = B * K * args.outer / dt

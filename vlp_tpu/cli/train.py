@@ -295,7 +295,9 @@ def main(argv=None):
         logger.info("***** Running training *****")
         logger.info("  Batch size = %d  Num steps = %d", args.train_batch_size,
                     t_total)
-        global_rng = jax.random.PRNGKey(args.seed + 1)
+        # rbg stream on TPU: threefry dropout-mask generation costs ~10% of
+        # the whole step (see train_step.fast_prng_key)
+        global_rng = ts.fast_prng_key(args.seed + 1)
         metrics_f = open(metrics_path, "a")
         profiling = False
         K = max(args.device_loop_steps, 1)

