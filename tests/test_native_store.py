@@ -87,3 +87,94 @@ def test_make_store_packed_route(packed):
     store = make_store(packed_file=path)
     feat, pe = store.get(keys[0])
     np.testing.assert_array_equal(feat, records[keys[0]][0])
+
+
+@pytest.fixture(scope="module")
+def packed16(packed, tmp_path_factory):
+    """The same records in a half-precision (v2) file."""
+    _, keys, records = packed
+    nr, fd = records[keys[0]][0].shape
+    cd = records[keys[0]][1].shape[1]
+    bd = records[keys[0]][2].shape[1]
+    path = str(tmp_path_factory.mktemp("store16") / "feats16.vlps")
+    native.pack_store(path, keys, records, n_regions=nr, feat_dim=fd,
+                      cls_dim=cd, bbox_dim=bd, dtype=np.float16)
+    return path, keys, records
+
+
+class TestHalfPrecisionStore:
+    def test_meta_and_get_dtype(self, packed16):
+        path, keys, records = packed16
+        store = native.PackedFeatureStore(path)
+        assert store.dtype == np.float16
+        feat, pe = store.get(keys[0])
+        assert feat.dtype == np.float16 and pe.dtype == np.float16
+
+    def test_featurize_parity_fp16(self, packed16):
+        """fp16 store, fp16 out: LN math is fp32 inside, so error is pure
+        quantization (~1e-3 for unit-scale values)."""
+        path, keys, records = packed16
+        store = native.PackedFeatureStore(path)
+        for k in keys[:5]:
+            feat, pe = store.get(k)
+            want = featurize_regions(records[k][2], records[k][1])
+            np.testing.assert_allclose(pe.astype(np.float32), want,
+                                       rtol=0, atol=4e-3)
+            np.testing.assert_allclose(feat.astype(np.float32),
+                                       records[k][0], rtol=0, atol=3e-3)
+
+    def test_fp32_out_from_fp16_store(self, packed16):
+        """get_into with float32 buffers upconverts (input precision is
+        still fp16, so same tolerance)."""
+        path, keys, records = packed16
+        store = native.PackedFeatureStore(path)
+        feat = np.empty((store.n_regions, store.feat_dim), np.float32)
+        pe = np.empty((store.n_regions, store.pe_dim), np.float32)
+        store.get_into(keys[2], feat, pe)
+        want = featurize_regions(records[keys[2]][2], records[keys[2]][1])
+        np.testing.assert_allclose(pe, want, rtol=0, atol=4e-3)
+
+    def test_batch_dtype_override(self, packed16):
+        path, keys, _ = packed16
+        store = native.PackedFeatureStore(path, n_threads=2)
+        f16, p16 = store.batch_get(keys[:4])
+        f32, p32 = store.batch_get(keys[:4], dtype=np.float32)
+        assert f16.dtype == np.float16 and f32.dtype == np.float32
+        np.testing.assert_allclose(p16.astype(np.float32), p32, rtol=0,
+                                   atol=1e-3)
+
+    def test_raw_upconverts(self, packed16):
+        path, keys, records = packed16
+        store = native.PackedFeatureStore(path)
+        feat, cls, bbox = store.raw(keys[1])
+        assert feat.dtype == np.float32
+        np.testing.assert_allclose(cls, records[keys[1]][1], rtol=0,
+                                   atol=1e-3)
+
+    def test_loader_slabs_follow_store_dtype(self, packed16):
+        """TrainLoader slab recycling keeps halves end-to-end and the
+        builder must not upcast them (vis_feats arrives fp16 on device,
+        where the model casts to its compute dtype)."""
+        from vlp_tpu.config import VLPConfig
+        from vlp_tpu.data.dataset import CaptionExample
+        from vlp_tpu.data.example_builder import TrainExampleBuilder
+        from vlp_tpu.data.loader import TrainLoader
+
+        path, keys, _ = packed16
+        store = native.PackedFeatureStore(path)
+        cfg = VLPConfig(len_vis_input=store.n_regions,
+                        vis_feat_dim=store.feat_dim,
+                        vis_cls_dim=store.cls_dim, max_pred=4)
+        vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "[MASK]": 4,
+                 "a": 10, "b": 11}
+        builder = TrainExampleBuilder(cfg, vocab, mode="s2s", mask_prob=0.15,
+                                      max_pred=4, new_segment_ids=True)
+        examples = [CaptionExample(k, ["a", "b"], image_id=i)
+                    for i, k in enumerate(keys)]
+        loader = TrainLoader(examples, store, [builder], [1.0], 4,
+                             num_workers=1, prefetch=2,
+                             feature_slab_slots=4)
+        batch = next(loader.epoch(0))
+        assert batch["vis_feats"].dtype == np.float16
+        assert batch["vis_pe"].dtype == np.float16
+        assert batch["input_ids"].shape == (4, cfg.seq_len)

@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--batches", type=int, default=30)
     ap.add_argument("--num_workers", type=int, default=4)
     ap.add_argument("--packed", default="")
+    ap.add_argument("--pack_dtype", default="",
+                    help="float16|float32: (re)create --packed from the "
+                         "synthetic store in this dtype before benching "
+                         "(fp16 halves host memory traffic)")
     ap.add_argument("--slab_slots", type=int, default=0,
                     help="recycled feature-buffer pool size (0 = allocate "
                          "fresh arrays per batch)")
@@ -47,8 +51,34 @@ def main():
                        image_id=i)
         for i in range(n_examples)]
     if args.packed:
-        from vlp_tpu.data.native_store import PackedFeatureStore
+        from vlp_tpu.data.native_store import PackedFeatureStore, pack_store
+        if args.pack_dtype and not os.path.exists(args.packed):
+            syn = make_store(synthetic=True, num_regions=cfg.len_vis_input,
+                             feat_dim=cfg.vis_feat_dim,
+                             cls_dim=cfg.vis_cls_dim)
+            srng = np.random.default_rng(1)
+
+            def rec(_k):
+                feat = srng.normal(size=(cfg.len_vis_input,
+                                         cfg.vis_feat_dim)).astype(np.float32)
+                cls = srng.uniform(size=(cfg.len_vis_input,
+                                         cfg.vis_cls_dim)).astype(np.float32)
+                bbox = np.zeros((cfg.len_vis_input, 6), np.float32)
+                xy = srng.uniform(0, 600, (cfg.len_vis_input, 2))
+                wh = srng.uniform(10, 200, (cfg.len_vis_input, 2))
+                bbox[:, :2] = xy
+                bbox[:, 2:4] = xy + wh
+                bbox[:, 5] = srng.uniform(0.2, 1.0, cfg.len_vis_input)
+                return feat, cls, bbox
+
+            print(f"packing {n_keys} records ({args.pack_dtype}) "
+                  f"-> {args.packed}")
+            pack_store(args.packed, [f"img_{i}" for i in range(n_keys)], rec,
+                       n_regions=cfg.len_vis_input,
+                       feat_dim=cfg.vis_feat_dim, cls_dim=cfg.vis_cls_dim,
+                       dtype=np.dtype(args.pack_dtype))
         store = PackedFeatureStore(args.packed)
+        print(f"packed store dtype: {store.dtype}")
     else:
         store = make_store(synthetic=True, num_regions=cfg.len_vis_input,
                            feat_dim=cfg.vis_feat_dim,

@@ -46,6 +46,14 @@ def truncate_tail_or_head(tokens: List[str], max_len: int, rng: np.random.Genera
     return tokens
 
 
+def _as_feat(x: np.ndarray) -> np.ndarray:
+    """Keep half-precision region arrays half (fp16 packed-store slabs must
+    not be silently copied up to fp32 — the host pipeline is
+    bandwidth-bound); anything else coerces to float32 as before."""
+    x = np.asarray(x)
+    return x if x.dtype == np.float16 else np.asarray(x, dtype=np.float32)
+
+
 def featurize_regions(bbox: np.ndarray, cls_probs: np.ndarray) -> np.ndarray:
     """Geometry + class-probability featurization -> float32[N, 1607].
 
@@ -191,8 +199,8 @@ class TrainExampleBuilder:
             masked_ids=masked_ids,
             masked_weights=masked_weights,
             task_idx=np.int32(self.task_idx),
-            vis_feats=np.asarray(vis_feats, dtype=np.float32),
-            vis_pe=np.asarray(vis_pe, dtype=np.float32),
+            vis_feats=_as_feat(vis_feats),
+            vis_pe=_as_feat(vis_pe),
         )
         if self.load_vqa_ann:
             out["ans_scores"] = (
@@ -243,8 +251,8 @@ class DecodeExampleBuilder:
             mode=np.int32(MODE_S2S),
             text_end=np.int32(prefix + self.max_tgt_length),
             task_idx=np.int32(TASK_IDX_S2S),
-            vis_feats=np.asarray(vis_feats, dtype=np.float32),
-            vis_pe=np.asarray(vis_pe, dtype=np.float32),
+            vis_feats=_as_feat(vis_feats),
+            vis_pe=_as_feat(vis_pe),
         )
 
 

@@ -100,8 +100,11 @@ class TrainLoader:
         after is warm — unlike fresh per-batch allocations, which pay the
         fault cost on EVERY batch)."""
         feat, pe = self.store.get(self.examples[0].feature_key)
-        return [(np.empty((self.batch_size,) + feat.shape, np.float32),
-                 np.empty((self.batch_size,) + pe.shape, np.float32))
+        # slab dtype follows the store: a float16 packed store keeps halves
+        # end-to-end (half the memory traffic on the bandwidth-bound host,
+        # half the host->device bytes; the model upcasts on device)
+        return [(np.empty((self.batch_size,) + feat.shape, feat.dtype),
+                 np.empty((self.batch_size,) + pe.shape, pe.dtype))
                 for _ in range(self.feature_slab_slots)]
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:

@@ -22,10 +22,12 @@ import numpy as np
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
                          "libvlpstore.so")
 _MAGIC = b"VLPS"
-_VERSION = 1
-_HEADER_FMT = "<4sIQIIIIII"  # magic, ver, n, regions, feat, cls, bbox, keylen, pad
+_VERSION = 1        # float32 records
+_VERSION_F16 = 2    # float16 records (dtype flag in the former pad field)
+_HEADER_FMT = "<4sIQIIIIII"  # magic, ver, n, regions, feat, cls, bbox, keylen, dtype
 _HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 assert _HEADER_SIZE == 40
+_DTYPES = {0: np.float32, 1: np.float16}
 
 
 def _load_lib(build: bool = True):
@@ -52,21 +54,35 @@ def _load_lib(build: bool = True):
     lib.vlps_batch_featurize.restype = ctypes.c_int
     lib.vlps_batch_featurize.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int,
                                          f32p, f32p, ctypes.c_int]
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.vlps_batch_featurize16.restype = ctypes.c_int
+    lib.vlps_batch_featurize16.argtypes = [ctypes.c_void_p, i64p,
+                                           ctypes.c_int, u16p, u16p,
+                                           ctypes.c_int]
     return lib
 
 
 def pack_store(out_path: str, keys: Sequence[str], records,
                n_regions: int = 100, feat_dim: int = 2048,
                cls_dim: int = 1601, bbox_dim: int = 6,
-               key_len: int = 64) -> None:
+               key_len: int = 64, dtype=np.float32) -> None:
     """Write the packed file.  ``records`` maps key ->
     (feat [nr, feat], cls [nr, cls], bbox [nr, bbox]) — a dict or a callable.
+
+    ``dtype=np.float16`` writes half-precision records (v2): the train-time
+    host pipeline is memory-bandwidth bound, so fp16 storage ≈ doubles
+    loader throughput and halves host→device transfer; featurization math
+    stays fp32 inside the C++ kernel either way.
     """
+    dtype = np.dtype(dtype)
+    assert dtype in (np.float32, np.float16), dtype
+    half = dtype == np.float16
     get = records.__getitem__ if hasattr(records, "__getitem__") else records
     with open(out_path, "wb") as f:
-        f.write(struct.pack(_HEADER_FMT, _MAGIC, _VERSION, len(keys),
+        f.write(struct.pack(_HEADER_FMT, _MAGIC,
+                            _VERSION_F16 if half else _VERSION, len(keys),
                             n_regions, feat_dim, cls_dim, bbox_dim,
-                            key_len, 0))
+                            key_len, 1 if half else 0))
         for k in keys:
             kb = k.encode()[:key_len]
             f.write(kb + b"\x00" * (key_len - len(kb)))
@@ -75,9 +91,9 @@ def pack_store(out_path: str, keys: Sequence[str], records,
             assert feat.shape == (n_regions, feat_dim)
             assert cls.shape == (n_regions, cls_dim)
             assert bbox.shape == (n_regions, bbox_dim)
-            f.write(np.ascontiguousarray(feat, np.float32).tobytes())
-            f.write(np.ascontiguousarray(cls, np.float32).tobytes())
-            f.write(np.ascontiguousarray(bbox, np.float32).tobytes())
+            f.write(np.ascontiguousarray(feat, dtype).tobytes())
+            f.write(np.ascontiguousarray(cls, dtype).tobytes())
+            f.write(np.ascontiguousarray(bbox, dtype).tobytes())
 
 
 class PackedFeatureStore:
@@ -91,10 +107,11 @@ class PackedFeatureStore:
         self.handle = self.lib.vlps_open(path.encode())
         if not self.handle:
             raise OSError(f"vlps_open failed for {path}")
-        meta = (ctypes.c_uint64 * 6)()
+        meta = (ctypes.c_uint64 * 7)()
         self.lib.vlps_meta(self.handle, meta)
         (self.n_records, self.n_regions, self.feat_dim, self.cls_dim,
-         self.bbox_dim, self.key_len) = [int(x) for x in meta]
+         self.bbox_dim, self.key_len, dtype_flag) = [int(x) for x in meta]
+        self.dtype = np.dtype(_DTYPES[dtype_flag])
         self.pe_dim = 6 + self.cls_dim
         self.n_threads = n_threads
 
@@ -116,42 +133,60 @@ class PackedFeatureStore:
     def find(self, key: str) -> int:
         return int(self.lib.vlps_find(self.handle, self._key(key).encode()))
 
+    def _featurize_into(self, idx: np.ndarray, feat2d: np.ndarray,
+                        pe2d: np.ndarray) -> int:
+        """Dispatch on the OUTPUT dtype (fp16 buffers take the f16 entry
+        point; the C++ side converts from the store dtype as needed)."""
+        assert feat2d.dtype == pe2d.dtype, "mixed output dtypes"
+        n = len(idx)
+        if feat2d.dtype == np.float16:
+            return self.lib.vlps_batch_featurize16(
+                self.handle, idx, n, feat2d.view(np.uint16),
+                pe2d.view(np.uint16), self.n_threads if n > 1 else 1)
+        assert feat2d.dtype == np.float32, feat2d.dtype
+        return self.lib.vlps_batch_featurize(
+            self.handle, idx, n, feat2d, pe2d,
+            self.n_threads if n > 1 else 1)
+
     def get(self, key: str) -> Tuple[np.ndarray, np.ndarray]:
-        feat = np.empty((self.n_regions, self.feat_dim), np.float32)
-        pe = np.empty((self.n_regions, self.pe_dim), np.float32)
+        """(vis_feats, vis_pe) in the STORE's dtype (fp16 for v2 files —
+        the model upcasts on device; keeping halves end-to-end is the point)."""
+        feat = np.empty((self.n_regions, self.feat_dim), self.dtype)
+        pe = np.empty((self.n_regions, self.pe_dim), self.dtype)
         self.get_into(key, feat, pe)
         return feat, pe
 
     def get_into(self, key: str, feat_out: np.ndarray,
                  pe_out: np.ndarray) -> None:
         """Zero-allocation fetch: featurize directly into caller-provided
-        C-contiguous float32 buffers of shape (n_regions, feat_dim) /
-        (n_regions, pe_dim) — lets the loader recycle batch slabs instead of
-        allocating per example (first-touch page faults on fresh
-        allocations dominate host pipeline time otherwise)."""
+        C-contiguous float32 or float16 buffers of shape
+        (n_regions, feat_dim) / (n_regions, pe_dim) — lets the loader
+        recycle batch slabs instead of allocating per example (first-touch
+        page faults on fresh allocations dominate host pipeline time
+        otherwise)."""
         idx = np.asarray([self.find(key)], np.int64)
         if idx[0] < 0:
             raise KeyError(key)
         assert feat_out.shape == (self.n_regions, self.feat_dim)
         assert pe_out.shape == (self.n_regions, self.pe_dim)
-        rc = self.lib.vlps_batch_featurize(
-            self.handle, idx, 1, feat_out.reshape(1, -1),
-            pe_out.reshape(1, -1), 1)
+        rc = self._featurize_into(idx, feat_out.reshape(1, -1),
+                                  pe_out.reshape(1, -1))
         if rc != 0:
             raise KeyError(key)
 
-    def batch_get(self, keys: Sequence[str]
+    def batch_get(self, keys: Sequence[str], dtype=None
                   ) -> Tuple[np.ndarray, np.ndarray]:
-        """Threaded gather + fused featurization for a whole batch."""
+        """Threaded gather + fused featurization for a whole batch.
+        ``dtype`` overrides the output precision (default: store dtype)."""
         n = len(keys)
         idx = np.asarray([self.find(k) for k in keys], np.int64)
         if (idx < 0).any():
             missing = [k for k, i in zip(keys, idx) if i < 0]
             raise KeyError(f"missing keys: {missing[:5]}")
-        feat = np.empty((n, self.n_regions * self.feat_dim), np.float32)
-        pe = np.empty((n, self.n_regions * self.pe_dim), np.float32)
-        rc = self.lib.vlps_batch_featurize(self.handle, idx, n, feat, pe,
-                                           self.n_threads)
+        dtype = np.dtype(dtype or self.dtype)
+        feat = np.empty((n, self.n_regions * self.feat_dim), dtype)
+        pe = np.empty((n, self.n_regions * self.pe_dim), dtype)
+        rc = self._featurize_into(idx, feat, pe)
         if rc != 0:
             raise RuntimeError("vlps_batch_featurize failed")
         return (feat.reshape(n, self.n_regions, self.feat_dim),
