@@ -190,6 +190,29 @@ class TestDeviceLoopMultiChip:
         assert np.isfinite(np.asarray(metrics["loss"])).all()
 
 
+class TestStackBatches:
+    def test_out_buffer_reuse(self, setup, rng):
+        cfg, model, state, tx = setup
+        b1 = [make_batch(cfg, 2, rng) for _ in range(3)]
+        b2 = [make_batch(cfg, 2, rng) for _ in range(3)]
+        fresh = ts.stack_batches(b1)
+        pool = ts.stack_batches(b1, out=None)
+        reused = ts.stack_batches(b2, out=pool)
+        assert reused is pool  # same buffers, refilled in place
+        for k in fresh:
+            np.testing.assert_array_equal(fresh[k], np.stack(
+                [np.asarray(b[k]) for b in b1]))
+            np.testing.assert_array_equal(reused[k], np.stack(
+                [np.asarray(b[k]) for b in b2]))
+
+    def test_out_shape_mismatch_asserts(self, setup, rng):
+        cfg, model, state, tx = setup
+        pool = ts.stack_batches([make_batch(cfg, 2, rng)])
+        import pytest as _pytest
+        with _pytest.raises(AssertionError):
+            ts.stack_batches([make_batch(cfg, 4, rng)], out=pool)
+
+
 class TestFastPrngKey:
     def test_rbg_key_through_train_and_decode(self, setup, rng):
         """fast_prng_key(fast=True) (the default TPU dropout stream, XLA

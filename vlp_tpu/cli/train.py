@@ -301,10 +301,30 @@ def main(argv=None):
         metrics_f = open(metrics_path, "a")
         profiling = False
         K = max(args.device_loop_steps, 1)
+        stack_pool = [None, None]  # rotating host-side stacked-batch buffers
         for i_epoch in range(start_epoch, args.num_train_epochs + 1):
             losses = []
             t_ep = time.time()
             pending = []
+            pending_ms = None  # (step_i, metrics) of the in-flight dispatch
+
+            def drain_ms(pm):
+                """Materialise the PREVIOUS dispatch's metrics.  Fetching one
+                dispatch behind keeps the device busy while the host stacks
+                and transfers the next K batches (fetching immediately after
+                dispatch would serialise host work with device compute)."""
+                pstep, pms = pm
+                losses.extend(float(x) for x in np.asarray(pms["loss"]))
+                if (pstep // K) % max(100 // K, 1) == 0:
+                    logger.info("Epoch %d, Iter %d, Loss %.2f", i_epoch,
+                                pstep, float(np.mean(losses)))
+                    rec = {"epoch": i_epoch, "step": pstep,
+                           "time": time.time()}
+                    rec.update({k2: float(np.asarray(v)[-1])
+                                for k2, v in pms.items()})
+                    metrics_f.write(json.dumps(rec) + "\n")
+                    metrics_f.flush()
+
             for step_i, batch in enumerate(loader.epoch(i_epoch - 1)):
                 if args.steps_per_epoch and step_i >= args.steps_per_epoch:
                     break
@@ -313,25 +333,23 @@ def main(argv=None):
                     pending.append(batch)
                     if len(pending) < K:
                         continue
+                    # recycled stacked buffer: safe to refill because the
+                    # dispatch-before-last (which read from this buffer) was
+                    # fully drained below, so its transfer has completed
+                    slot = (step_i // K) % 2
+                    stack_pool[slot] = ts.stack_batches(pending,
+                                                        out=stack_pool[slot])
                     stacked = {k2: jnp.asarray(v)
-                               for k2, v in ts.stack_batches(pending).items()}
+                               for k2, v in stack_pool[slot].items()}
                     pending = []
                     rng = jax.random.fold_in(global_rng,
                                              i_epoch * 100000 + step_i)
                     ratio = (args.max_drop_worst_ratio
                              if i_epoch > args.drop_after else 0.0)
                     state, ms = multi_fn(state, stacked, rng, ratio)
-                    chunk_losses = np.asarray(ms["loss"])
-                    losses.extend(float(x) for x in chunk_losses)
-                    if (step_i // K) % max(100 // K, 1) == 0:
-                        logger.info("Epoch %d, Iter %d, Loss %.2f", i_epoch,
-                                    step_i, float(np.mean(losses)))
-                        rec = {"epoch": i_epoch, "step": step_i,
-                               "time": time.time()}
-                        rec.update({k2: float(np.asarray(v)[-1])
-                                    for k2, v in ms.items()})
-                        metrics_f.write(json.dumps(rec) + "\n")
-                        metrics_f.flush()
+                    if pending_ms is not None:
+                        drain_ms(pending_ms)
+                    pending_ms = (step_i, ms)
                     continue
                 rng = jax.random.fold_in(global_rng, i_epoch * 100000 + step_i)
                 jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -367,6 +385,8 @@ def main(argv=None):
                     record.update({k: float(v) for k, v in metrics.items()})
                     metrics_f.write(json.dumps(record) + "\n")
                     metrics_f.flush()
+            if pending_ms is not None:
+                drain_ms(pending_ms)
             if profiling:
                 jax.profiler.stop_trace()
                 profiling = False

@@ -193,7 +193,21 @@ def make_multi_step(model: VLPModel, tx: optax.GradientTransformation, *,
     return multi_step
 
 
-def stack_batches(batches):
-    """[{k: [B,...]}] * K -> {k: [K, B, ...]} for make_multi_step."""
+def stack_batches(batches, out=None):
+    """[{k: [B,...]}] * K -> {k: [K, B, ...]} for make_multi_step.
+
+    ``out`` recycles a previous result's buffers (shapes/dtypes must match):
+    a fresh K-batch stack is ~K x 190MB of new pages per dispatch, and
+    first-touch page faults on that cost more than the copy itself on busy
+    hosts (same trick as TrainLoader.feature_slab_slots).
+    """
     import numpy as np
-    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    if out is None:
+        return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    for k in batches[0]:
+        dst = out[k]
+        assert dst.shape == (len(batches),) + batches[0][k].shape
+        assert dst.dtype == np.asarray(batches[0][k]).dtype, k
+        for j, b in enumerate(batches):
+            dst[j] = b[k]
+    return out
