@@ -1,6 +1,8 @@
 """Checkpoint converter: surgery rules, mapping, and full numerical parity
 of the converted model against a torch oracle of the reference forward."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -135,6 +137,50 @@ class TestRoundTrip:
         for (p1, a), (p2, b) in zip(flat1, flat2):
             assert p1 == p2
             np.testing.assert_allclose(a, b, err_msg=str(p1))
+
+
+class TestStepCheckpoints:
+    """Step-level (mid-epoch) checkpoints: save/prune/latest-scan round-trip.
+    An extension over the reference's per-epoch recovery
+    (run_img2txt_dist.py:33-43)."""
+
+    @staticmethod
+    def _state(val):
+        from vlp_tpu.parallel.train_step import TrainState
+        from vlp_tpu.optim import BertAdamState
+        p = {"w": np.full((2, 2), float(val), np.float32)}
+        opt = BertAdamState(m={"w": np.zeros((2, 2), np.float32)},
+                            v={"w": np.ones((2, 2), np.float32)},
+                            step=np.asarray(val, np.int32))
+        return TrainState(p, opt, np.asarray(val, np.int32))
+
+    def test_save_prune_latest(self, tmp_path):
+        out = str(tmp_path)
+        for s in (4, 8, 12):
+            ckpt.save_step_checkpoint(out, s, self._state(s), keep=2)
+        ckpt.wait_for_saves()
+        assert ckpt.get_latest_step_checkpoint(out) == 12
+        # pruned to the latest two
+        assert not os.path.isdir(os.path.join(out, "model.s4"))
+        assert os.path.isdir(os.path.join(out, "model.s8"))
+        # step ckpts must not be mistaken for epoch ckpts
+        assert ckpt.get_max_epoch_model(out) is None
+        st = self._state(0)
+        params = ckpt.restore_params(os.path.join(out, "model.s12"),
+                                     st.params)
+        np.testing.assert_array_equal(params["w"], np.full((2, 2), 12.0))
+        opt = ckpt.restore_optimizer(os.path.join(out, "optim.s12"),
+                                     st.opt_state)
+        assert int(opt["step"]) == 12
+
+    def test_async_epoch_save_visible_after_wait(self, tmp_path):
+        out = str(tmp_path)
+        ckpt.save_checkpoint(out, 1, self._state(7), wait=False)
+        ckpt.wait_for_saves()
+        st = self._state(0)
+        params = ckpt.restore_params(os.path.join(out, "model.1"), st.params)
+        np.testing.assert_array_equal(params["w"], np.full((2, 2), 7.0))
+        assert ckpt.get_max_epoch_model(out) == 1
 
 
 class TestOracleParity:

@@ -57,6 +57,28 @@ class TestTrainCLI:
         log = open(os.path.join(out, "training.log")).read()
         assert "Recover model: 2" in log
 
+    def test_step_checkpoint_midepoch_resume(self, fixtures):
+        """--save_steps writes model.sN mid-epoch; after a crash the run
+        resumes INSIDE the epoch (the reference can only restart at epoch
+        boundaries, run_img2txt_dist.py:33-43)."""
+        import shutil
+        out = os.path.join(fixtures["dir"], "out_stepckpt")
+        args = base_train_args(
+            fixtures, out, ["--num_train_epochs", "1", "--steps_per_epoch",
+                            "4", "--save_steps", "2"])
+        train_cli.main(args)
+        assert os.path.isdir(os.path.join(out, "model.s2"))
+        assert os.path.isdir(os.path.join(out, "model.s4"))
+        assert os.path.isdir(os.path.join(out, "model.1"))
+        # simulate a crash after step 2: epoch ckpt + later step ckpt gone
+        for name in ("model.1", "optim.1", "model.s4", "optim.s4"):
+            shutil.rmtree(os.path.join(out, name))
+        train_cli.main(args)
+        log = open(os.path.join(out, "training.log")).read()
+        assert "Recover model: step 2" in log
+        assert os.path.isdir(os.path.join(out, "model.1"))
+        assert os.path.isdir(os.path.join(out, "model.s4"))
+
     def test_vqa_train(self, fixtures):
         out = os.path.join(fixtures["dir"], "out_vqa")
         # vqa2 synthetic: ans_scores come from the builder's zero default

@@ -89,6 +89,18 @@ class TestTrainLoader:
         for k in b1:
             np.testing.assert_array_equal(b1[k], b2[k])
 
+    def test_start_batch_resumes_exact_stream(self):
+        """epoch(start_batch=N) must continue the epoch stream exactly where
+        an uninterrupted run would be after N batches (mid-epoch resume)."""
+        cfg = tiny_cfg()
+        full = [{k: v.copy() for k, v in b.items()}
+                for b in self.make(cfg, seed=7).epoch(1)]
+        resumed = list(self.make(cfg, seed=7).epoch(1, start_batch=2))
+        assert len(resumed) == len(full) - 2
+        for got, want in zip(resumed, full[2:]):
+            for k in want:
+                np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
     def test_slab_mode_matches_fresh(self):
         """Recycled feature slabs must yield byte-identical batches to the
         allocate-per-batch path (consumed immediately, per the contract)."""

@@ -217,19 +217,87 @@ def jax_tree_to_numpy(tree):
 # orbax-based native checkpoints
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(output_dir: str, epoch: int, state, keep_optimizer=True):
+_CKPTR = None  # shared StandardCheckpointer (async under the hood)
+
+
+def _checkpointer():
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_saves():
+    """Block until all in-flight async checkpoint writes have committed.
+    Call before process exit / before reading back a just-written ckpt."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
+def save_checkpoint(output_dir: str, epoch: int, state, keep_optimizer=True,
+                    wait: bool = True):
     """Write model.{epoch} (+ optim.{epoch}) under output_dir
-    (run_img2txt_dist.py:588-599 naming, orbax format)."""
-    import orbax.checkpoint as ocp
+    (run_img2txt_dist.py:588-599 naming, orbax format).
+
+    ``wait=False`` returns as soon as the host snapshot is taken and lets
+    orbax commit to disk in the background (training continues; a
+    subsequent save or ``wait_for_saves()`` joins the writer)."""
+    ckptr = _checkpointer()
     path = os.path.abspath(os.path.join(output_dir, f"model.{epoch}"))
-    ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax_tree_to_numpy(state.params), force=True)
     if keep_optimizer:
         opath = os.path.abspath(os.path.join(output_dir, f"optim.{epoch}"))
         ckptr.save(opath, jax_tree_to_numpy(
             {"m": state.opt_state.m, "v": state.opt_state.v,
              "step": state.opt_state.step}), force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
+
+
+# -- step-level checkpoints (an extension over the reference's per-epoch
+#    recovery, run_img2txt_dist.py:33-43): model.s{N}/optim.s{N} written
+#    every --save_steps optimizer steps, pruned to the latest few, resumed
+#    mid-epoch by skipping already-consumed loader batches.
+
+_STEP_RE = re.compile(r"\.s(\d+)$")
+
+
+def save_step_checkpoint(output_dir: str, step: int, state,
+                         keep: int = 2) -> None:
+    """Async-write model.s{step}/optim.s{step}; prune older step ckpts
+    beyond ``keep``.  Pruning only touches saves that have already
+    committed (the shared checkpointer serialises in-flight writes)."""
+    import shutil
+    save_checkpoint(output_dir, f"s{step}", state, wait=False)
+    # the just-issued save is still in flight (not yet on disk), so count
+    # it explicitly; anything older has committed (the shared checkpointer
+    # serialises saves) and is safe to delete
+    steps = sorted(_list_step_checkpoints(output_dir) | {step})
+    for old in steps[:-keep]:
+        if old == step:
+            continue
+        for prefix in ("model", "optim"):
+            p = os.path.join(output_dir, f"{prefix}.s{old}")
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _list_step_checkpoints(output_dir: str):
+    models = set()
+    optims = set()
+    for p in glob.glob(os.path.join(output_dir, "model.s*")) + glob.glob(
+            os.path.join(output_dir, "optim.s*")):
+        m = _STEP_RE.search(p)
+        if m:
+            (models if "/model." in p or p.startswith("model.")
+             else optims).add(int(m.group(1)))
+    return models & optims
+
+
+def get_latest_step_checkpoint(output_dir: str) -> Optional[int]:
+    """Largest step N with BOTH model.sN and optim.sN present."""
+    both = _list_step_checkpoints(output_dir)
+    return max(both) if both else None
 
 
 def restore_params(path: str, params_template):

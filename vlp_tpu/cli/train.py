@@ -117,6 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scan K training steps on device per dispatch "
                         "(amortises host round-trips; metrics are logged "
                         "per chunk)")
+    p.add_argument("--save_steps", type=int, default=0,
+                   help="also checkpoint every N optimizer steps "
+                        "(model.sN/optim.sN, async, latest 2 kept) and "
+                        "resume MID-epoch from the newest one — the "
+                        "reference only recovers at epoch boundaries")
     p.add_argument("--jax_distributed", action="store_true",
                    help="call jax.distributed.initialize() for multi-host "
                         "pods (replaces the reference's file:// NCCL "
@@ -242,20 +247,33 @@ def main(argv=None):
     metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
 
     recover_step = ckpt.get_max_epoch_model(args.output_dir)
+    recover_gstep = ckpt.get_latest_step_checkpoint(args.output_dir)
     start_epoch = 1
-    if recover_step:
-        logger.info("***** Recover model: %d *****", recover_step)
+    skip_batches = 0
+
+    def _restore(tag):
         params = ckpt.restore_params(
-            os.path.join(args.output_dir, f"model.{recover_step}"),
-            state.params)
+            os.path.join(args.output_dir, f"model.{tag}"), state.params)
         opt = ckpt.restore_optimizer(
-            os.path.join(args.output_dir, f"optim.{recover_step}"),
-            state.opt_state)
-        state = state._replace(
+            os.path.join(args.output_dir, f"optim.{tag}"), state.opt_state)
+        return state._replace(
             params=params,
             opt_state=state.opt_state._replace(
                 m=opt["m"], v=opt["v"], step=jnp.asarray(opt["step"])),
             step=jnp.asarray(opt["step"]))
+
+    if recover_gstep and recover_gstep > (recover_step or 0) * steps_per_epoch:
+        # mid-epoch step checkpoint is newer than any epoch checkpoint:
+        # resume inside the epoch by skipping already-consumed batches
+        # (epoch_indices is deterministic, so the stream continues exactly
+        # where the interrupted run left off)
+        logger.info("***** Recover model: step %d *****", recover_gstep)
+        state = _restore(f"s{recover_gstep}")
+        start_epoch = recover_gstep // steps_per_epoch + 1
+        skip_batches = recover_gstep % steps_per_epoch
+    elif recover_step:
+        logger.info("***** Recover model: %d *****", recover_step)
+        state = _restore(recover_step)
         start_epoch = recover_step + 1
     elif args.model_recover_path:
         logger.info("***** Recover model: %s *****", args.model_recover_path)
@@ -302,6 +320,20 @@ def main(argv=None):
         profiling = False
         K = max(args.device_loop_steps, 1)
         stack_pool = [None, None]  # rotating host-side stacked-batch buffers
+        last_step_save = (start_epoch - 1) * steps_per_epoch + skip_batches
+
+        def maybe_save_steps(i_epoch, step_i, state):
+            """Step-level checkpoint every --save_steps optimizer steps
+            (counted from loader batches: one optimizer step per batch,
+            also inside the K-step device loop)."""
+            nonlocal last_step_save
+            if not args.save_steps or jax.process_index() != 0:
+                return
+            gdone = (i_epoch - 1) * steps_per_epoch + step_i + 1
+            if gdone - last_step_save >= args.save_steps:
+                ckpt.save_step_checkpoint(args.output_dir, gdone, state)
+                last_step_save = gdone
+
         for i_epoch in range(start_epoch, args.num_train_epochs + 1):
             losses = []
             t_ep = time.time()
@@ -325,7 +357,9 @@ def main(argv=None):
                     metrics_f.write(json.dumps(rec) + "\n")
                     metrics_f.flush()
 
-            for step_i, batch in enumerate(loader.epoch(i_epoch - 1)):
+            skip = skip_batches if i_epoch == start_epoch else 0
+            for step_i, batch in enumerate(
+                    loader.epoch(i_epoch - 1, start_batch=skip), start=skip):
                 if args.steps_per_epoch and step_i >= args.steps_per_epoch:
                     break
                 if not args.scst and K > 1:
@@ -350,6 +384,7 @@ def main(argv=None):
                     if pending_ms is not None:
                         drain_ms(pending_ms)
                     pending_ms = (step_i, ms)
+                    maybe_save_steps(i_epoch, step_i, state)
                     continue
                 rng = jax.random.fold_in(global_rng, i_epoch * 100000 + step_i)
                 jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -377,6 +412,7 @@ def main(argv=None):
                         jax.profiler.stop_trace()
                         profiling = False
                 losses.append(float(metrics["loss"]))
+                maybe_save_steps(i_epoch, step_i, state)
                 if step_i % 100 == 0:
                     logger.info("Epoch %d, Iter %d, Loss %.2f", i_epoch,
                                 step_i, float(np.mean(losses)))
@@ -393,12 +429,16 @@ def main(argv=None):
             logger.info("Epoch %d done in %.1fs, mean loss %.4f", i_epoch,
                         time.time() - t_ep, float(np.mean(losses)))
             if jax.process_index() == 0:
-                ckpt.save_checkpoint(args.output_dir, i_epoch, state)
+                # async: orbax commits in the background while the next
+                # epoch trains; wait_for_saves() below joins the writer
+                ckpt.save_checkpoint(args.output_dir, i_epoch, state,
+                                     wait=False)
             if jax.process_count() > 1:
                 # epoch barrier (reference torch.distributed.barrier,
                 # run_img2txt_dist.py:604-605)
                 from jax.experimental import multihost_utils
                 multihost_utils.sync_global_devices(f"epoch_{i_epoch}")
+        ckpt.wait_for_saves()
         metrics_f.close()
     return state
 

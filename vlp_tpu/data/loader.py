@@ -107,7 +107,12 @@ class TrainLoader:
                  np.empty((self.batch_size,) + pe.shape, pe.dtype))
                 for _ in range(self.feature_slab_slots)]
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: int, start_batch: int = 0
+              ) -> Iterator[Dict[str, np.ndarray]]:
+        """``start_batch`` skips the first N batches without building them
+        (mid-epoch resume from a step checkpoint: the shuffled index order
+        is deterministic per epoch, so skipping reproduces the exact
+        stream a fresh run would have consumed by that point)."""
         idx = self.epoch_indices(epoch)
         nb = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -128,7 +133,7 @@ class TrainLoader:
 
         def _produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(nb):
+                for b in range(start_batch, nb):
                     lo = b * self.batch_size
                     chunk = idx[lo:lo + self.batch_size]
                     pairs = [(j, int(i),
