@@ -79,6 +79,45 @@ class TestAttentionParity:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_blhd_layout_matches_bhld(self, rng):
+        """layout="blhd" ([B,L,H,D] operands, head loop slices the middle
+        dim) must be numerically identical to the canonical bhld kernel,
+        values and grads."""
+        B, H, L, D = 2, 2, 128, 16
+        prefix = 8
+        q, k, v = (jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+                   for _ in range(3))
+        mode = jnp.asarray([MODE_S2S, MODE_BI], jnp.int32)
+        text_end = jnp.asarray([20, 15], jnp.int32)
+        vis_keep = jnp.ones((B, prefix - 2), jnp.float32)
+        vis_keep = vis_keep.at[0, 2].set(0.0)
+        colkeep = attn_ops.colkeep_from_vis_keep(vis_keep, L)
+
+        want = attn_ops.attention_pallas(q, k, v, mode, text_end, colkeep,
+                                         prefix=prefix)
+        got = attn_ops.attention_pallas(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), mode, text_end, colkeep,
+            prefix=prefix, layout="blhd")
+        np.testing.assert_allclose(np.asarray(got.transpose(0, 2, 1, 3)),
+                                   np.asarray(want), rtol=2e-5, atol=2e-5)
+
+        def f_bhld(q, k, v):
+            return jnp.sum(attn_ops.attention_pallas(
+                q, k, v, mode, text_end, colkeep, prefix=prefix) ** 2)
+
+        def f_blhd(q, k, v):
+            return jnp.sum(attn_ops.attention_pallas(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), mode, text_end, colkeep,
+                prefix=prefix, layout="blhd") ** 2)
+
+        ga = jax.grad(f_bhld, argnums=(0, 1, 2))(q, k, v)
+        gb = jax.grad(f_blhd, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
     def test_pallas_grads_match_xla(self, rng):
         B, H, L, D = 1, 2, 128, 16
         prefix = 8

@@ -154,23 +154,33 @@ class TransformerLayer(nn.Module):
         rebuilds the mask from metadata in-register.
         """
         cfg = self.cfg
-        q = self._heads(self.q_proj(x))
-        k = self._heads(self.k_proj(x))
-        v = self._heads(self.v_proj(x))
         rate = cfg.attention_probs_dropout_prob if not deterministic else 0.0
         if cfg.use_pallas_attention:
+            # [B,L,H,D] straight off the projections (reshape = bitcast):
+            # the kernel loops heads internally, so the [B,H,L,D] transpose
+            # — one physical copy per q/k/v/out and per backward tensor per
+            # layer, ~15% of the pretraining step — never materialises.
+            B, L, _ = x.shape
+            hd = (cfg.num_attention_heads, cfg.head_dim)
+            q = self.q_proj(x).reshape(B, L, *hd)
+            k = self.k_proj(x).reshape(B, L, *hd)
+            v = self.v_proj(x).reshape(B, L, *hd)
             seed = None
             if rate > 0.0:
                 seed = jax.random.randint(
                     self.make_rng("dropout"), (x.shape[0],), 0, 2 ** 31 - 1)
             ctx = attn_ops.attention_pallas(
                 q, k, v, mode, text_end, colkeep, prefix=cfg.prefix_len,
-                dropout_rate=rate, dropout_seed=seed)
+                dropout_rate=rate, dropout_seed=seed, layout="blhd")
+            ctx = ctx.reshape(B, L, cfg.hidden_size)
         else:
+            q = self._heads(self.q_proj(x))
+            k = self._heads(self.k_proj(x))
+            v = self._heads(self.v_proj(x))
             rng = self.make_rng("dropout") if rate > 0.0 else None
-            ctx = attn_ops.attention_xla(q, k, v, bias, dropout_rate=rate,
-                                         dropout_rng=rng)
-        return self._post_attention(self._merge(ctx), x, deterministic)
+            ctx = self._merge(attn_ops.attention_xla(
+                q, k, v, bias, dropout_rate=rate, dropout_rng=rng))
+        return self._post_attention(ctx, x, deterministic)
 
     def prefill_attend(self, x: Array, prefix: int,
                        deterministic: bool = True

@@ -114,6 +114,36 @@ def _fwd_kernel(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref, colkeep_ref,
             preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
+def _fwd_kernel_blhd(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref,
+                     colkeep_ref, out_ref, *, prefix: int, drop_rate: float,
+                     scale: float, H: int):
+    """[B,L,H*D] layout — the QKV projections' LITERAL output, so no head
+    transpose exists anywhere (the [B,H,L,D] custom-call operands otherwise
+    cost XLA one physical copy per q/k/v/out/do/dq/dk/dv per layer, ~15% of
+    the whole pretraining step, measured in the trace).  Refs are 2-D
+    [L, H*D] blocks; heads are static column slices — per-head [L,1,D]
+    squeezes of a 4-D block are vector shape casts Mosaic cannot legalize
+    (and squeezed middle block dims are rejected outright)."""
+    L, HD = q_ref.shape
+    D = HD // H
+    b = pl.program_id(0)
+    bias = _mask_bias(mode_ref[b], te_ref[b], colkeep_ref[b, :], prefix, L)
+    if drop_rate > 0.0:
+        pltpu.prng_seed(seed_ref[b])
+    for h in range(H):
+        cols = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(
+            q_ref[:, cols], k_ref[:, cols],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
+        p = _softmax_probs(s)
+        if drop_rate > 0.0:
+            p = p * _dropout_keep_scale((L, L), drop_rate)
+        out_ref[:, cols] = jnp.dot(
+            p.astype(q_ref.dtype), v_ref[:, cols],
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
 def _bwd_kernel(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref, colkeep_ref,
                 do_ref, dq_ref, dk_ref, dv_ref, *, prefix: int,
                 drop_rate: float, scale: float):
@@ -156,73 +186,176 @@ def _bwd_kernel(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref, colkeep_ref,
         dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_kernel_blhd(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref,
+                     colkeep_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     *, prefix: int, drop_rate: float, scale: float, H: int):
+    """[B,L,H*D] backward (see _fwd_kernel_blhd)."""
+    L, HD = q_ref.shape
+    D = HD // H
+    b = pl.program_id(0)
+    bias = _mask_bias(mode_ref[b], te_ref[b], colkeep_ref[b, :], prefix, L)
+    if drop_rate > 0.0:
+        pltpu.prng_seed(seed_ref[b])  # same stream as _fwd_kernel_blhd
+    for h in range(H):
+        cols = slice(h * D, (h + 1) * D)
+        q = q_ref[:, cols].astype(jnp.float32)
+        k = k_ref[:, cols].astype(jnp.float32)
+        v = v_ref[:, cols].astype(jnp.float32)
+        do = do_ref[:, cols].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
+        p = _softmax_probs(s)
+        if drop_rate > 0.0:
+            keep = _dropout_keep_scale((L, L), drop_rate)
+            pd = p * keep
+        else:
+            keep = None
+            pd = p
+        dv = jax.lax.dot_general(
+            pd, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dpd = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = dpd * keep if keep is not None else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[:, cols] = dq.astype(dq_ref.dtype)
+        dk_ref[:, cols] = dk.astype(dk_ref.dtype)
+        dv_ref[:, cols] = dv.astype(dv_ref.dtype)
+
+
 def _interpret() -> bool:
     # Pallas compiles natively on TPU; elsewhere (CPU tests) run interpreted.
     return jax.default_backend() != "tpu"
 
 
-def _qkv_spec(H, L, D):
+def _qkv_spec(shape3):
     # index map receives (grid idx, *scalar_prefetch_refs)
-    return pl.BlockSpec((1, H, L, D), lambda b, *_: (b, 0, 0, 0),
+    return pl.BlockSpec((1,) + tuple(shape3), lambda b, *_: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _pallas_fwd(q, k, v, mode, text_end, colkeep, seed, prefix, drop_rate):
-    B, H, L, D = q.shape
+def _row_spec(L, HD):
+    # squeezed per-example block of a [B, L, H*D] array: 2-D [L, H*D] ref
+    return pl.BlockSpec((None, L, HD), lambda b, *_: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _pallas_fwd(q, k, v, mode, text_end, colkeep, seed, prefix, drop_rate,
+                blhd):
+    B = q.shape[0]
+    D = q.shape[-1]
     scale = 1.0 / math.sqrt(D)
+    if blhd:
+        L, H = q.shape[1], q.shape[2]
+        HD = H * D
+        q, k, v = (x.reshape(B, L, HD) for x in (q, k, v))  # bitcasts
+        kernel = functools.partial(_fwd_kernel_blhd, prefix=prefix,
+                                   drop_rate=drop_rate, scale=scale, H=H)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # mode, text_end, seed
+            grid=(B,),
+            in_specs=[
+                _row_spec(L, HD), _row_spec(L, HD), _row_spec(L, HD),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # colkeep [B, L]
+            ],
+            out_specs=_row_spec(L, HD),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, L, HD), q.dtype),
+            interpret=_interpret(),
+        )(mode, text_end, seed, q, k, v, colkeep)
+        return out.reshape(B, L, H, D)
+    H, L = q.shape[1], q.shape[2]
     kernel = functools.partial(_fwd_kernel, prefix=prefix,
                                drop_rate=drop_rate, scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # mode, text_end, seed
         grid=(B,),
         in_specs=[
-            _qkv_spec(H, L, D), _qkv_spec(H, L, D), _qkv_spec(H, L, D),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # colkeep: full [B, L]
+            _qkv_spec((H, L, D)), _qkv_spec((H, L, D)), _qkv_spec((H, L, D)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # colkeep [B, L]
         ],
-        out_specs=_qkv_spec(H, L, D),
+        out_specs=_qkv_spec((H, L, D)),
     )
     # scalar-prefetch index maps receive the scalar refs as trailing args;
     # block index maps above ignore them via *_
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=_interpret(),
     )(mode, text_end, seed, q, k, v, colkeep)
 
 
 def _pallas_bwd_call(q, k, v, mode, text_end, colkeep, seed, do, prefix,
-                     drop_rate):
-    B, H, L, D = q.shape
+                     drop_rate, blhd):
+    B = q.shape[0]
+    D = q.shape[-1]
     scale = 1.0 / math.sqrt(D)
+    if blhd:
+        L, H = q.shape[1], q.shape[2]
+        HD = H * D
+        q, k, v, do = (x.reshape(B, L, HD) for x in (q, k, v, do))
+        kernel = functools.partial(_bwd_kernel_blhd, prefix=prefix,
+                                   drop_rate=drop_rate, scale=scale, H=H)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B,),
+            in_specs=[
+                _row_spec(L, HD), _row_spec(L, HD), _row_spec(L, HD),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # colkeep [B, L]
+                _row_spec(L, HD),
+            ],
+            out_specs=(_row_spec(L, HD), _row_spec(L, HD), _row_spec(L, HD)),
+        )
+        dq, dk, dv = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((B, L, HD), q.dtype),
+                       jax.ShapeDtypeStruct((B, L, HD), q.dtype),
+                       jax.ShapeDtypeStruct((B, L, HD), q.dtype)),
+            interpret=_interpret(),
+        )(mode, text_end, seed, q, k, v, colkeep, do)
+        return (dq.reshape(B, L, H, D), dk.reshape(B, L, H, D),
+                dv.reshape(B, L, H, D))
+    H, L = q.shape[1], q.shape[2]
     kernel = functools.partial(_bwd_kernel, prefix=prefix,
                                drop_rate=drop_rate, scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
-            _qkv_spec(H, L, D), _qkv_spec(H, L, D), _qkv_spec(H, L, D),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # colkeep: full [B, L]
-            _qkv_spec(H, L, D),
+            _qkv_spec((H, L, D)), _qkv_spec((H, L, D)), _qkv_spec((H, L, D)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # colkeep [B, L]
+            _qkv_spec((H, L, D)),
         ],
-        out_specs=(_qkv_spec(H, L, D), _qkv_spec(H, L, D), _qkv_spec(H, L, D)),
+        out_specs=(_qkv_spec((H, L, D)), _qkv_spec((H, L, D)),
+                   _qkv_spec((H, L, D))),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
-                   jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
-                   jax.ShapeDtypeStruct((B, H, L, D), q.dtype)),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(q.shape, q.dtype)),
         interpret=_interpret(),
     )(mode, text_end, seed, q, k, v, colkeep, do)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_attention(static: Tuple[int, float], q, k, v, mode, text_end,
+def _fused_attention(static: Tuple[int, float, bool], q, k, v, mode, text_end,
                      colkeep, seed):
-    prefix, drop_rate = static
+    prefix, drop_rate, blhd = static
     return _pallas_fwd(q, k, v, mode, text_end, colkeep, seed, prefix,
-                       drop_rate)
+                       drop_rate, blhd)
 
 
 def _fused_fwd(static, q, k, v, mode, text_end, colkeep, seed):
@@ -231,10 +364,10 @@ def _fused_fwd(static, q, k, v, mode, text_end, colkeep, seed):
 
 
 def _fused_bwd(static, res, do):
-    prefix, drop_rate = static
+    prefix, drop_rate, blhd = static
     q, k, v, mode, text_end, colkeep, seed = res
     dq, dk, dv = _pallas_bwd_call(q, k, v, mode, text_end, colkeep, seed, do,
-                                  prefix, drop_rate)
+                                  prefix, drop_rate, blhd)
 
     def _f0(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -247,13 +380,19 @@ _fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
 def attention_pallas(q, k, v, mode, text_end, colkeep, *, prefix: int,
-                     dropout_rate: float = 0.0, dropout_seed=None):
-    """Fused attention. q/k/v: [B,H,L,D]; colkeep: float[B,L]; dropout_seed:
-    int32[B] (required when dropout_rate > 0)."""
+                     dropout_rate: float = 0.0, dropout_seed=None,
+                     layout: str = "bhld"):
+    """Fused attention. q/k/v: [B,H,L,D] (``layout="bhld"``) or [B,L,H,D]
+    (``layout="blhd"`` — the QKV projections' natural layout, which turns
+    the surrounding head transposes into bitcasts; see _fwd_kernel).
+    colkeep: float[B,L]; dropout_seed: int32[B] (required when
+    dropout_rate > 0).  Output layout matches the input layout."""
+    assert layout in ("bhld", "blhd"), layout
     B = q.shape[0]
     if dropout_seed is None:
         dropout_seed = jnp.zeros((B,), jnp.int32)
-    return _fused_attention((prefix, float(dropout_rate)), q, k, v,
+    return _fused_attention((prefix, float(dropout_rate), layout == "blhd"),
+                            q, k, v,
                             mode.astype(jnp.int32), text_end.astype(jnp.int32),
                             colkeep, dropout_seed.astype(jnp.int32))
 
