@@ -1,0 +1,87 @@
+"""VQA inference throughput: batched ``vqa_inference`` argmax on the chip.
+
+The reference evaluates VQA with a no-grad bidirectional forward + argmax
+over the 3,129-answer classifier (eval_vqa2.py:237-241).  This measures
+that device path (bert-base, bi mode, max_pred=0 semantics) in
+questions/sec; inputs are generated on device so the 1-core host/tunnel
+does not bottleneck the measurement.
+
+Usage: python tools/bench_vqa.py [--batch 256] [--outer 5]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--outer", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vlp_tpu.config import MODE_BI, VLPConfig
+    from vlp_tpu.models.model import VLPModel
+    from vlp_tpu.parallel import train_step as ts
+
+    on_tpu = jax.default_backend() == "tpu"
+    B = args.batch if on_tpu else 8
+    cfg = VLPConfig(use_pallas_attention=on_tpu)
+    model = ts.create_model(cfg, task="vqa2")
+    params = ts.init_params(model, cfg, jax.random.PRNGKey(0), task="vqa2")
+
+    rng = np.random.default_rng(0)
+    L, nv = cfg.seq_len, cfg.len_vis_input
+    prefix = cfg.prefix_len
+    nb = 12  # ~question length
+    ids = np.zeros((B, L), np.int32)
+    ids[:, 0] = 101
+    ids[:, 1:nv + 1] = 100
+    ids[:, nv + 1] = 102
+    ids[:, prefix:prefix + nb] = rng.integers(200, cfg.vocab_size, (B, nb))
+    ids[:, prefix + nb] = 102
+    seg = np.zeros((B, L), np.int32)
+    seg[:, prefix:prefix + nb + 1] = 1
+    batch = dict(
+        input_ids=jnp.asarray(ids), segment_ids=jnp.asarray(seg),
+        mode=jnp.full((B,), MODE_BI, jnp.int32),
+        text_end=jnp.full((B,), prefix + nb + 1, jnp.int32),
+        task_idx=jnp.zeros((B,), jnp.int32),
+        vis_feats=jnp.zeros((B, nv, cfg.vis_feat_dim), jnp.float32),
+        vis_pe=jnp.zeros((B, nv, cfg.vis_pe_dim), jnp.float32),
+    )
+
+    infer = jax.jit(lambda p, b: model.apply({"params": p}, b,
+                                             method=VLPModel.vqa_inference))
+
+    def fresh(i):
+        b = dict(batch)
+        b["vis_feats"] = jax.random.normal(
+            jax.random.PRNGKey(i), (B, nv, cfg.vis_feat_dim), jnp.float32)
+        return b
+
+    # warmup/compile; fetch a value (tunnel: block_until_ready is not a
+    # barrier, identical executions may be cached — vary the features)
+    int(np.asarray(infer(params, fresh(0)))[0])
+
+    t0 = time.perf_counter()
+    for i in range(args.outer):
+        int(np.asarray(infer(params, fresh(i + 1)))[0])
+    dt = time.perf_counter() - t0
+    qps = B * args.outer / dt
+    # reference: 32 min/epoch on 2x V100 for the VQA2 train split (~443k
+    # QA pairs over ~3 epochs-worth of steps; use eval-rate framing only)
+    print(f"vqa_inference: {qps:.1f} questions/sec/chip at B={B} "
+          f"({dt / args.outer * 1e3:.0f} ms/batch)")
+
+
+if __name__ == "__main__":
+    main()
