@@ -159,6 +159,25 @@ class TestEvalLoader:
         assert len(chunk) == 1
         assert batch["input_ids"].shape[0] == 4
 
+    def test_slab_mode_matches_fresh(self):
+        """Recycled eval slabs (incl. tail padding) must yield the same
+        batches as the allocate-per-batch path when consumed immediately."""
+        cfg = tiny_cfg()
+        builder = DecodeExampleBuilder(cfg, VOCAB,
+                                       max_tgt_length=cfg.max_len_b)
+        fresh = [( {k: v.copy() for k, v in b.items()}, c, p)
+                 for b, c, p in EvalLoader(examples(9), store(cfg), builder,
+                                           batch_size=4)]
+        slab = EvalLoader(examples(9), store(cfg), builder, batch_size=4,
+                          feature_slab_slots=3)
+        got = list(slab)
+        assert len(got) == len(fresh) == 3
+        for (gb, gc, gp), (fb, fc, fp) in zip(got, fresh):
+            assert gp == fp and [e.feature_key for e in gc] == \
+                [e.feature_key for e in fc]
+            for k in fb:
+                np.testing.assert_array_equal(gb[k], fb[k], err_msg=k)
+
 
 class TestSCST:
     def test_reward_and_grads(self, rng):

@@ -142,7 +142,10 @@ def main(argv=None):
         else:
             params = template
 
-        loader = EvalLoader(eval_list, store, builder, args.batch_size)
+        # slab recycling: each batch is transferred to the device (the
+        # jnp.asarray below) before the next is drawn, so 3 slots suffice
+        loader = EvalLoader(eval_list, store, builder, args.batch_size,
+                            feature_slab_slots=3)
         output = {}
         t0 = time.time()
         n_done = 0

@@ -184,33 +184,76 @@ class TrainLoader:
 
 
 class EvalLoader:
-    """Sequential batched eval loader (decode_img2txt.py:215-226 pattern)."""
+    """Sequential batched eval loader (decode_img2txt.py:215-226 pattern).
+
+    ``feature_slab_slots`` > 0 recycles preallocated region-feature batch
+    buffers like TrainLoader (a fresh ~140MB of first-touch pages per
+    batch otherwise caps the host at well below the chip's ~200
+    captions/sec decode rate).  CONTRACT: a yielded batch's ``vis_feats``/
+    ``vis_pe`` are only valid until ``feature_slab_slots - 1`` further
+    batches are drawn — consume (transfer to device) before drawing more.
+    """
 
     def __init__(self, examples: Sequence, store, builder: Callable,
-                 batch_size: int, num_workers: int = 4):
+                 batch_size: int, num_workers: int = 4,
+                 feature_slab_slots: int = 0):
         self.examples = list(examples)
         self.store = store
         self.builder = builder
         self.batch_size = batch_size
         self.num_workers = num_workers
+        self.feature_slab_slots = feature_slab_slots
 
     def __len__(self):
         return (len(self.examples) + self.batch_size - 1) // self.batch_size
 
+    def _slabs(self):
+        feat, pe = self.store.get(self.examples[0].feature_key)
+        return [(np.empty((self.batch_size,) + feat.shape, feat.dtype),
+                 np.empty((self.batch_size,) + pe.shape, pe.dtype))
+                for _ in range(self.feature_slab_slots)]
+
     def __iter__(self):
         pool = ThreadPoolExecutor(self.num_workers)
+        slabs = self._slabs() if (self.feature_slab_slots
+                                  and self.examples) else None
 
         def build(ex):
             feat, pe = self.store.get(ex.feature_key)
             return self.builder(feat, pe)
 
+        def build_into(args):
+            j, ex, fs, ps = args
+            if hasattr(self.store, "get_into"):
+                self.store.get_into(ex.feature_key, fs[j], ps[j])
+            else:
+                feat, pe = self.store.get(ex.feature_key)
+                fs[j] = feat
+                ps[j] = pe
+            return self.builder(fs[j], ps[j])
+
         try:
-            for lo in range(0, len(self.examples), self.batch_size):
+            for bi, lo in enumerate(range(0, len(self.examples),
+                                          self.batch_size)):
                 chunk = self.examples[lo:lo + self.batch_size]
-                exs = list(pool.map(build, chunk))
-                # pad the tail batch to full size (static device shapes)
-                pad = self.batch_size - len(exs)
-                exs = exs + [exs[-1]] * pad
-                yield collate(exs), chunk, pad
+                pad = self.batch_size - len(chunk)
+                if slabs is None:
+                    exs = list(pool.map(build, chunk))
+                    exs = exs + [exs[-1]] * pad  # tail pad: static shapes
+                    yield collate(exs), chunk, pad
+                    continue
+                fs, ps = slabs[bi % len(slabs)]
+                exs = list(pool.map(build_into,
+                                    [(j, ex, fs, ps)
+                                     for j, ex in enumerate(chunk)]))
+                for j in range(len(chunk), self.batch_size):
+                    fs[j] = fs[len(chunk) - 1]
+                    ps[j] = ps[len(chunk) - 1]
+                    exs.append(exs[-1])
+                batch = {k: np.stack([e[k] for e in exs]) for k in exs[0]
+                         if k not in ("vis_feats", "vis_pe")}
+                batch["vis_feats"] = fs
+                batch["vis_pe"] = ps
+                yield batch, chunk, pad
         finally:
             pool.shutdown(wait=False)
