@@ -87,6 +87,49 @@ class TestTrainCLI:
                             "--answer_vocab_file", fixtures["answers"]]))
         assert os.path.isdir(os.path.join(out, "model.1"))
 
+    def test_train_with_fp16_packed_store(self, fixtures, tmp_path):
+        """Non-synthetic path: Karpathy JSON index + half-precision packed
+        feature store through the train CLI (--packed_feature_file)."""
+        pytest.importorskip("vlp_tpu.data.native_store")
+        from vlp_tpu.data.native_store import pack_store
+
+        rng = np.random.default_rng(0)
+        nr, fd, cd = 6, 24, 10
+        names = [f"img_{i:04d}.jpg" for i in range(8)]
+
+        def rec(_k):
+            bbox = np.zeros((nr, 6), np.float32)
+            xy = rng.uniform(0, 500, (nr, 2))
+            wh = rng.uniform(5, 100, (nr, 2))
+            bbox[:, :2] = xy
+            bbox[:, 2:4] = xy + wh
+            bbox[:, 5] = rng.uniform(0, 1, nr)
+            return (rng.normal(size=(nr, fd)).astype(np.float32),
+                    rng.uniform(size=(nr, cd)).astype(np.float32), bbox)
+
+        packed = str(tmp_path / "feats16.vlps")
+        pack_store(packed, [n[:-4] for n in names], rec, n_regions=nr,
+                   feat_dim=fd, cls_dim=cd, dtype=np.float16)
+        src = str(tmp_path / "dataset_coco.json")
+        with open(src, "w") as f:
+            json.dump({"images": [
+                {"split": "train", "filename": n, "filepath": "trainval",
+                 "cocoid": i,
+                 "sentences": [{"raw": "tok1 tok2 tok3"}]}
+                for i, n in enumerate(names)]}, f)
+
+        out = os.path.join(fixtures["dir"], "out_packed16")
+        args = [a for a in base_train_args(
+            fixtures, out, ["--num_train_epochs", "1", "--steps_per_epoch",
+                            "2", "--src_file", src,
+                            "--packed_feature_file", packed,
+                            "--dataset", "coco", "--split", "train"])
+                if a != "--synthetic_data"]
+        train_cli.main(args)
+        assert os.path.isdir(os.path.join(out, "model.1"))
+        log = open(os.path.join(out, "training.log")).read()
+        assert "mean loss" in log
+
     def test_scst_train(self, fixtures):
         out = os.path.join(fixtures["dir"], "out_scst")
         train_cli.main(base_train_args(
