@@ -18,7 +18,7 @@ from vlp_tpu import checkpoint as ckpt
 from vlp_tpu.cli import common
 from vlp_tpu.cli.train import make_config
 from vlp_tpu.data.dataset import CaptionExample, load_vqa_index
-from vlp_tpu.data.example_builder import TrainExampleBuilder, collate
+from vlp_tpu.data.example_builder import TrainExampleBuilder
 from vlp_tpu.data.features import make_store
 from vlp_tpu.models.model import VLPModel
 from vlp_tpu.parallel import train_step as ts
@@ -146,15 +146,38 @@ def main(argv=None):
         predictions = []
         rng_np = np.random.default_rng(args.seed)
         B = args.batch_size
-        for lo in range(0, len(eval_list), B):
+        # recycled per-row feature buffers (first-touch page faults on
+        # fresh ~1.4MB/example allocations otherwise throttle the host
+        # far below the chip's inference rate); 2 slots suffice — each
+        # batch is device-transferred before the next is built
+        slabs = None
+        if eval_list:
+            f0, p0 = store.get(eval_list[0].feature_key)
+            slabs = [(np.empty((B,) + f0.shape, f0.dtype),
+                      np.empty((B,) + p0.shape, p0.dtype)) for _ in range(2)]
+        for bi, lo in enumerate(range(0, len(eval_list), B)):
             chunk = eval_list[lo:lo + B]
+            fs, ps = slabs[bi % 2]
             exs = []
-            for ex in chunk:
-                feat, pe = store.get(ex.feature_key)
-                exs.append(builder(ex.tokens, feat, pe, rng_np))
+            for j, ex in enumerate(chunk):
+                if hasattr(store, "get_into"):
+                    store.get_into(ex.feature_key, fs[j], ps[j])
+                else:
+                    feat, pe = store.get(ex.feature_key)
+                    fs[j] = feat
+                    ps[j] = pe
+                exs.append(builder(ex.tokens, fs[j], ps[j], rng_np))
             pad = B - len(exs)
+            for j in range(len(chunk), B):  # tail pad in place
+                fs[j] = fs[len(chunk) - 1]
+                ps[j] = ps[len(chunk) - 1]
             exs += [exs[-1]] * pad
-            batch = {k: jnp.asarray(v) for k, v in collate(exs).items()}
+            # features come straight from the slabs (collate would np.stack
+            # a fresh copy, reintroducing the allocation cost)
+            batch = {k: jnp.asarray(np.stack([e[k] for e in exs]))
+                     for k in exs[0] if k not in ("vis_feats", "vis_pe")}
+            batch["vis_feats"] = jnp.asarray(fs)
+            batch["vis_pe"] = jnp.asarray(ps)
             ans_idx = np.asarray(infer(params, batch))
             for i, ex in enumerate(chunk):
                 predictions.append({
