@@ -168,15 +168,17 @@ class TestEvalLoader:
         fresh = [( {k: v.copy() for k, v in b.items()}, c, p)
                  for b, c, p in EvalLoader(examples(9), store(cfg), builder,
                                            batch_size=4)]
-        slab = EvalLoader(examples(9), store(cfg), builder, batch_size=4,
-                          feature_slab_slots=3)
-        got = list(slab)
-        assert len(got) == len(fresh) == 3
-        for (gb, gc, gp), (fb, fc, fp) in zip(got, fresh):
-            assert gp == fp and [e.feature_key for e in gc] == \
-                [e.feature_key for e in fc]
-            for k in fb:
-                np.testing.assert_array_equal(gb[k], fb[k], err_msg=k)
+        for prefetch in (False, True):
+            slab = EvalLoader(examples(9), store(cfg), builder, batch_size=4,
+                              feature_slab_slots=3, prefetch=prefetch)
+            got = [({k: v.copy() for k, v in b.items()}, c, p)
+                   for b, c, p in slab]
+            assert len(got) == len(fresh) == 3
+            for (gb, gc, gp), (fb, fc, fp) in zip(got, fresh):
+                assert gp == fp and [e.feature_key for e in gc] == \
+                    [e.feature_key for e in fc]
+                for k in fb:
+                    np.testing.assert_array_equal(gb[k], fb[k], err_msg=k)
 
 
 class TestSCST:

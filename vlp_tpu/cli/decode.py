@@ -142,10 +142,12 @@ def main(argv=None):
         else:
             params = template
 
-        # slab recycling: each batch is transferred to the device (the
-        # jnp.asarray below) before the next is drawn, so 3 slots suffice
+        # slab recycling + background prefetch: batch N+1 is built from the
+        # feature store while the device decodes batch N; each batch is
+        # transferred (jnp.asarray below) before the next is drawn, so 3
+        # slots cover queued + being-built + in-consumer
         loader = EvalLoader(eval_list, store, builder, args.batch_size,
-                            feature_slab_slots=3)
+                            feature_slab_slots=3, prefetch=True)
         output = {}
         t0 = time.time()
         n_done = 0

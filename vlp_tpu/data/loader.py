@@ -196,13 +196,20 @@ class EvalLoader:
 
     def __init__(self, examples: Sequence, store, builder: Callable,
                  batch_size: int, num_workers: int = 4,
-                 feature_slab_slots: int = 0):
+                 feature_slab_slots: int = 0, prefetch: bool = False):
+        """``prefetch=True`` builds the next batch in a background thread
+        while the consumer decodes the current one (requires
+        ``feature_slab_slots >= 3`` when slabs are on: queued + being-built
+        + in-consumer)."""
         self.examples = list(examples)
         self.store = store
         self.builder = builder
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.feature_slab_slots = feature_slab_slots
+        self.prefetch = prefetch
+        if prefetch and feature_slab_slots:
+            assert feature_slab_slots >= 3
 
     def __len__(self):
         return (len(self.examples) + self.batch_size - 1) // self.batch_size
@@ -213,11 +220,7 @@ class EvalLoader:
                  np.empty((self.batch_size,) + pe.shape, pe.dtype))
                 for _ in range(self.feature_slab_slots)]
 
-    def __iter__(self):
-        pool = ThreadPoolExecutor(self.num_workers)
-        slabs = self._slabs() if (self.feature_slab_slots
-                                  and self.examples) else None
-
+    def _batches(self, pool, slabs):
         def build(ex):
             feat, pe = self.store.get(ex.feature_key)
             return self.builder(feat, pe)
@@ -232,28 +235,68 @@ class EvalLoader:
                 ps[j] = pe
             return self.builder(fs[j], ps[j])
 
+        for bi, lo in enumerate(range(0, len(self.examples),
+                                      self.batch_size)):
+            chunk = self.examples[lo:lo + self.batch_size]
+            pad = self.batch_size - len(chunk)
+            if slabs is None:
+                exs = list(pool.map(build, chunk))
+                exs = exs + [exs[-1]] * pad  # tail pad: static shapes
+                yield collate(exs), chunk, pad
+                continue
+            fs, ps = slabs[bi % len(slabs)]
+            exs = list(pool.map(build_into,
+                                [(j, ex, fs, ps)
+                                 for j, ex in enumerate(chunk)]))
+            for j in range(len(chunk), self.batch_size):
+                fs[j] = fs[len(chunk) - 1]
+                ps[j] = ps[len(chunk) - 1]
+                exs.append(exs[-1])
+            batch = {k: np.stack([e[k] for e in exs]) for k in exs[0]
+                     if k not in ("vis_feats", "vis_pe")}
+            batch["vis_feats"] = fs
+            batch["vis_pe"] = ps
+            yield batch, chunk, pad
+
+    def __iter__(self):
+        pool = ThreadPoolExecutor(self.num_workers)
+        slabs = self._slabs() if (self.feature_slab_slots
+                                  and self.examples) else None
+        if not self.prefetch:
+            try:
+                yield from self._batches(pool, slabs)
+            finally:
+                pool.shutdown(wait=False)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for item in self._batches(pool, slabs):
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(None)
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
         try:
-            for bi, lo in enumerate(range(0, len(self.examples),
-                                          self.batch_size)):
-                chunk = self.examples[lo:lo + self.batch_size]
-                pad = self.batch_size - len(chunk)
-                if slabs is None:
-                    exs = list(pool.map(build, chunk))
-                    exs = exs + [exs[-1]] * pad  # tail pad: static shapes
-                    yield collate(exs), chunk, pad
-                    continue
-                fs, ps = slabs[bi % len(slabs)]
-                exs = list(pool.map(build_into,
-                                    [(j, ex, fs, ps)
-                                     for j, ex in enumerate(chunk)]))
-                for j in range(len(chunk), self.batch_size):
-                    fs[j] = fs[len(chunk) - 1]
-                    ps[j] = ps[len(chunk) - 1]
-                    exs.append(exs[-1])
-                batch = {k: np.stack([e[k] for e in exs]) for k in exs[0]
-                         if k not in ("vis_feats", "vis_pe")}
-                batch["vis_feats"] = fs
-                batch["vis_pe"] = ps
-                yield batch, chunk, pad
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         finally:
+            stop.set()
             pool.shutdown(wait=False)
