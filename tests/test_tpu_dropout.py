@@ -92,3 +92,21 @@ def test_dropout_keep_probability_and_parity():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-2, atol=2e-2)
+
+    # ---- blhd (the production layout): same keep mask as bhld (both seed
+    # per example and draw H sequential (L,L) masks), same fwd values,
+    # grads consistent with the shared mask ------------------------------
+    def pallas_blhd(q, k, v):
+        out = attn_ops.attention_pallas(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), mode, text_end, colkeep, prefix=prefix,
+            dropout_rate=RATE, dropout_seed=seed, layout="blhd")
+        return out.transpose(0, 2, 1, 3)
+
+    np.testing.assert_array_equal(np.asarray(pallas_blhd(q, k, v)),
+                                  np.asarray(xla_with_mask(q, k, v)))
+    gb = jax.grad(lambda *a: jnp.sum(pallas_blhd(*a) * co),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gb, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)
