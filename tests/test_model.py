@@ -118,6 +118,26 @@ class TestAttentionParity:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
 
+    def test_fused_qkv_matches_separate(self, rng):
+        """fuse_qkv_proj=True (one block-column matmul over runtime-
+        concatenated kernels) must match the three separate projections
+        exactly — same params, same dot reduction order per column."""
+        cfg = tiny_cfg().replace(use_pallas_attention=True)
+        model_a = VLPModel(cfg)
+        model_b = VLPModel(cfg.replace(fuse_qkv_proj=True))
+        batch = make_batch(cfg, 2, rng)
+        params = ts.init_params(model_a, cfg, jax.random.PRNGKey(0))
+        out_a = model_a.apply({"params": params}, batch,
+                              deterministic=True, drop_worst_ratio=0.0,
+                              mask_image_regions=False, task="img2txt",
+                              method=VLPModel.pretrain_losses)
+        out_b = model_b.apply({"params": params}, batch,
+                              deterministic=True, drop_worst_ratio=0.0,
+                              mask_image_regions=False, task="img2txt",
+                              method=VLPModel.pretrain_losses)
+        np.testing.assert_array_equal(np.asarray(out_a["loss"]),
+                                      np.asarray(out_b["loss"]))
+
     def test_pallas_grads_match_xla(self, rng):
         B, H, L, D = 1, 2, 128, 16
         prefix = 8

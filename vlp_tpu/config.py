@@ -57,6 +57,12 @@ class VLPConfig:
     # --- numerics ---
     dtype: str = "bfloat16"              # activation dtype on TPU
     use_pallas_attention: bool = True    # fused-attention kernel vs XLA reference path
+    fuse_qkv_proj: bool = False          # one runtime-concatenated QKV matmul
+                                         # (param tree unchanged).  Measured
+                                         # SLOWER on v5e (1310 vs 1340
+                                         # samples/sec): the per-step fp32
+                                         # kernel concat outweighs the saved
+                                         # activation reads.  Off by default.
 
     # The reference INTENDS to block masked-region attention columns
     # (seq2seq_loader.py:303-304) but `input_mask[:, pos].fill_(0)` writes to

@@ -162,9 +162,30 @@ class TransformerLayer(nn.Module):
             # layer, ~15% of the pretraining step — never materialises.
             B, L, _ = x.shape
             hd = (cfg.num_attention_heads, cfg.head_dim)
-            q = self.q_proj(x).reshape(B, L, *hd)
-            k = self.k_proj(x).reshape(B, L, *hd)
-            v = self.v_proj(x).reshape(B, L, *hd)
+            if cfg.fuse_qkv_proj and not self.is_initializing():
+                # one [768, 3*768] matmul instead of three: reads x once.
+                # Block-column dot == three separate dots bitwise (same
+                # per-column reduction order); the concat reads the fp32
+                # kernels once per step — params/grad tree unchanged, so
+                # checkpoint interop is unaffected.
+                dt = jnp.dtype(cfg.dtype)
+                kern = jnp.concatenate(
+                    [self.q_proj.variables["params"]["kernel"],
+                     self.k_proj.variables["params"]["kernel"],
+                     self.v_proj.variables["params"]["kernel"]],
+                    axis=1).astype(dt)
+                bias3 = jnp.concatenate(
+                    [self.q_proj.variables["params"]["bias"],
+                     self.k_proj.variables["params"]["bias"],
+                     self.v_proj.variables["params"]["bias"]]).astype(dt)
+                qkv = jnp.dot(x.astype(dt), kern) + bias3
+                q, k, v = (qkv[..., i * cfg.hidden_size:
+                               (i + 1) * cfg.hidden_size].reshape(B, L, *hd)
+                           for i in range(3))
+            else:
+                q = self.q_proj(x).reshape(B, L, *hd)
+                k = self.k_proj(x).reshape(B, L, *hd)
+                v = self.v_proj(x).reshape(B, L, *hd)
             seed = None
             if rate > 0.0:
                 seed = jax.random.randint(
