@@ -213,6 +213,20 @@ class TestStackBatches:
             ts.stack_batches([make_batch(cfg, 4, rng)], out=pool)
 
 
+class TestFastPrngKeyPortable:
+    def test_threefry_fallback_is_default_stream(self):
+        """fast=False must be bit-identical to jax.random.PRNGKey usage
+        (backend-portable reproducibility escape hatch)."""
+        a = ts.fast_prng_key(7, fast=False)
+        b = jax.random.PRNGKey(7)
+        np.testing.assert_array_equal(
+            jax.random.uniform(a, (4,)), jax.random.uniform(b, (4,)))
+
+    def test_fast_default_follows_backend(self):
+        key = ts.fast_prng_key(3)  # CPU in tests -> threefry
+        assert "threefry" in str(jax.random.key_impl(key))
+
+
 class TestFastPrngKey:
     def test_rbg_key_through_train_and_decode(self, setup, rng):
         """fast_prng_key(fast=True) (the default TPU dropout stream, XLA
