@@ -173,6 +173,16 @@ class TestStepCheckpoints:
                                      st.opt_state)
         assert int(opt["step"]) == 12
 
+    def test_step_list_robust_to_model_dot_in_dirname(self, tmp_path):
+        """output_dir paths containing '/model.' (e.g. runs/model.v2) used to
+        throw every optim.s* path into the models set, silently disabling
+        mid-epoch resume and pruning for such dirs."""
+        out = os.path.join(str(tmp_path), "model.v2")
+        os.makedirs(os.path.join(out, "model.s5"))
+        os.makedirs(os.path.join(out, "optim.s5"))
+        os.makedirs(os.path.join(out, "optim.s9"))  # model.s9 missing
+        assert ckpt.get_latest_step_checkpoint(out) == 5
+
     def test_async_epoch_save_visible_after_wait(self, tmp_path):
         out = str(tmp_path)
         ckpt.save_checkpoint(out, 1, self._state(7), wait=False)

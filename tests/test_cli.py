@@ -57,6 +57,27 @@ class TestTrainCLI:
         log = open(os.path.join(out, "training.log")).read()
         assert "Recover model: 2" in log
 
+    def test_optimizer_flags_plumbed(self, fixtures, monkeypatch):
+        """--weight_decay/--learning_rate/--sche_mode must reach the
+        constructed optimizer (weight_decay used to be silently dropped on
+        the main path and hard-defaulted to 0.01)."""
+        from vlp_tpu.parallel import train_step as ts
+        seen = {}
+        real = ts.make_optimizer
+
+        def spy(cfg, params, **kw):
+            seen.update(kw)
+            return real(cfg, params, **kw)
+
+        monkeypatch.setattr(ts, "make_optimizer", spy)
+        out = os.path.join(fixtures["dir"], "out_optflags")
+        train_cli.main(base_train_args(fixtures, out, [
+            "--weight_decay", "0.07", "--sche_mode", "warmup_cosine",
+            "--learning_rate", "5e-4"])[1:])  # drop --do_train: no training
+        assert seen["weight_decay"] == pytest.approx(0.07)
+        assert seen["schedule"] == "warmup_cosine"
+        assert seen["lr"] == pytest.approx(5e-4)
+
     def test_step_checkpoint_midepoch_resume(self, fixtures):
         """--save_steps writes model.sN mid-epoch; after a crash the run
         resumes INSIDE the epoch (the reference can only restart at epoch

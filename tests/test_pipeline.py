@@ -101,6 +101,27 @@ class TestTrainLoader:
             for k in want:
                 np.testing.assert_array_equal(got[k], want[k], err_msg=k)
 
+    def test_example_seeds_collision_free(self):
+        """No two examples in (or across) epochs may share a masking RNG
+        stream.  The old affine seed formula let (i, j) and (i±1, j∓31)
+        collide; SeedSequence spawning keys on the unique stream position."""
+        cfg = tiny_cfg()
+        loader = self.make(cfg)
+        states = set()
+        n = 0
+        for epoch in range(3):
+            for pos in range(200):
+                ss = loader._example_seed(epoch, pos)
+                states.add(tuple(ss.generate_state(2).tolist()))
+                n += 1
+        # and across hosts: same (epoch, pos) on another process differs
+        other = self.make(cfg, process_index=1, process_count=2)
+        for pos in range(200):
+            states.add(tuple(other._example_seed(0, pos)
+                             .generate_state(2).tolist()))
+            n += 1
+        assert len(states) == n
+
     def test_slab_mode_matches_fresh(self):
         """Recycled feature slabs must yield byte-identical batches to the
         allocate-per-batch path (consumed immediately, per the contract)."""
@@ -181,6 +202,33 @@ class TestEvalLoader:
                     np.testing.assert_array_equal(gb[k], fb[k], err_msg=k)
 
 
+    def test_abandoned_iteration_does_not_wedge_producer(self):
+        """A consumer that stops mid-stream (e.g. decode CLI hits an error)
+        must not leave the prefetch producer blocked on its terminal
+        sentinel put — that pinned the slab buffers and thread pool for the
+        life of the process."""
+        import threading
+        import time
+
+        cfg = tiny_cfg()
+        builder = DecodeExampleBuilder(cfg, VOCAB,
+                                       max_tgt_length=cfg.max_len_b)
+        before = set(threading.enumerate())
+        loader = EvalLoader(examples(20), store(cfg), builder, batch_size=4,
+                            feature_slab_slots=3, prefetch=True)
+        it = iter(loader)
+        next(it)
+        it.close()  # abandon with batches still queued/being built
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            alive = [t for t in set(threading.enumerate()) - before
+                     if t.is_alive()]
+            if not alive:
+                break
+            time.sleep(0.05)
+        assert not alive, f"stuck producer threads: {alive}"
+
+
 class TestSCST:
     def test_reward_and_grads(self, rng):
         cfg = tiny_cfg()
@@ -228,6 +276,28 @@ class TestSCST:
         out = scst_lib.clean_rollout(ids, eos_id=4, pad_id=0)
         np.testing.assert_array_equal(
             out, [[5, 6, 4, 0, 0], [5, 0, 0, 0, 0], [5, 6, 7, 8, 9]])
+
+    def test_clean_rollout_matches_loop_oracle(self):
+        """Vectorised cleanup vs the reference's per-token loop semantics
+        (run_img2txt_dist.py:497-515) on random rollouts."""
+        def oracle(ids, eos_id, pad_id):
+            out = np.zeros_like(ids)
+            for b in range(ids.shape[0]):
+                for t in range(ids.shape[1]):
+                    tok = ids[b, t]
+                    if tok != eos_id and tok != pad_id:
+                        out[b, t] = tok
+                    else:
+                        if tok == eos_id:
+                            out[b, t] = eos_id
+                        break
+            return out
+
+        r = np.random.default_rng(0)
+        ids = r.integers(0, 8, size=(64, 24))
+        np.testing.assert_array_equal(
+            scst_lib.clean_rollout(ids, eos_id=4, pad_id=0),
+            oracle(ids, eos_id=4, pad_id=0))
 
     def test_reward_sign(self):
         # batch of 2 distinct images so corpus idf is nonzero (a 1-image

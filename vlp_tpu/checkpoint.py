@@ -289,7 +289,9 @@ def _list_step_checkpoints(output_dir: str):
             os.path.join(output_dir, "optim.s*")):
         m = _STEP_RE.search(p)
         if m:
-            (models if "/model." in p or p.startswith("model.")
+            # classify on the basename: an output_dir whose PATH contains
+            # '/model.' (e.g. runs/model.v2) must not swallow optim.s* paths
+            (models if os.path.basename(p).startswith("model.")
              else optims).add(int(m.group(1)))
     return models & optims
 

@@ -61,13 +61,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--fp16", action="store_true",
                    help="bf16 activations on TPU (fp32 otherwise)")
-    p.add_argument("--fp32_embedding", action="store_true")
+    p.add_argument("--fp32_embedding", action="store_true",
+                   help="no-op, covered by design: params (incl. embedding "
+                        "tables) and LN/softmax stay fp32 always; only "
+                        "activations run bf16 (reference needed this flag "
+                        "because model.half() cast the tables themselves)")
     p.add_argument("--from_scratch", action="store_true")
     p.add_argument("--new_segment_ids", action="store_true")
     p.add_argument("--tokenized_input", action="store_true")
     p.add_argument("--len_vis_input", type=int, default=100)
     p.add_argument("--max_len_b", type=int, default=20)
-    p.add_argument("--trunc_seg", default="b")
+    p.add_argument("--trunc_seg", default="b",
+                   help="no-op, covered by design: segment a is always the "
+                        "fixed 100-region placeholder so only b can be "
+                        "truncated (reference asserts len_vis==100 too; "
+                        "trunc_seg='a' would corrupt the region slots)")
     p.add_argument("--always_truncate_tail", action="store_true")
     p.add_argument("--mask_prob", default=0.15, type=float)
     p.add_argument("--max_pred", type=int, default=3)
@@ -243,11 +251,24 @@ def main(argv=None):
     state, tx = ts.create_train_state(
         model, cfg, jax.random.PRNGKey(args.seed), lr=args.learning_rate,
         warmup=args.warmup_proportion, t_total=t_total,
-        schedule=args.sche_mode, task=args.tasks)
+        schedule=args.sche_mode, weight_decay=args.weight_decay,
+        task=args.tasks)
     metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
 
     recover_step = ckpt.get_max_epoch_model(args.output_dir)
     recover_gstep = ckpt.get_latest_step_checkpoint(args.output_dir)
+    if jax.process_count() > 1:
+        # checkpoints are written by process 0 only, so with a non-shared
+        # output_dir other hosts would scan an empty dir and start fresh
+        # while host 0 resumes — silently desynchronising params and the
+        # data stream.  Agree on process 0's view: now either every host
+        # resumes (which requires output_dir on shared storage, where the
+        # restore below finds the files) or the missing files fail loudly.
+        from jax.experimental import multihost_utils
+        agreed = multihost_utils.broadcast_one_to_all(
+            np.asarray([recover_step or 0, recover_gstep or 0], np.int32))
+        recover_step = int(agreed[0]) or None
+        recover_gstep = int(agreed[1]) or None
     start_epoch = 1
     skip_batches = 0
 

@@ -19,6 +19,21 @@ import numpy as np
 from vlp_tpu.data.example_builder import collate
 
 
+def _put_stoppable(q: "queue.Queue", item, stop: threading.Event) -> bool:
+    """Enqueue unless/until the consumer signalled stop.  Used for EVERY
+    producer put — items, the terminal ``None`` sentinel and surfaced
+    exceptions alike: an unconditional blocking ``q.put`` after the loop can
+    wedge the daemon producer forever (pinning slabs + thread pool) when the
+    consumer abandons iteration with the queue full."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.5)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 class TrainLoader:
     """Randomly samples (example, pipeline) pairs each epoch.
 
@@ -75,7 +90,19 @@ class TrainLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _build_one(self, ex_idx: int, sample_seed: int, feat_out=None,
+    def _example_seed(self, epoch: int, pos: int) -> np.random.SeedSequence:
+        """Collision-free per-example RNG stream.
+
+        Keyed on the example's position in this host's epoch stream (which
+        is unique by construction) plus epoch and process index, mixed by
+        ``SeedSequence`` — the previous affine formula
+        ``seed*1e6+epoch*7919+i*31+j`` let ``(i, j)`` and ``(i±1, j∓31)``
+        collide, giving two examples identical masking streams.
+        """
+        return np.random.SeedSequence(
+            (self.seed, epoch, self.process_index, pos))
+
+    def _build_one(self, ex_idx: int, sample_seed, feat_out=None,
                    pe_out=None) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(sample_seed)
         ex = self.examples[ex_idx]
@@ -129,16 +156,14 @@ class TrainLoader:
             try:
                 _produce()
             except BaseException as e:  # surface in the consumer, not a hang
-                q.put(e)
+                _put_stoppable(q, e, stop)
 
         def _produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(start_batch, nb):
                     lo = b * self.batch_size
                     chunk = idx[lo:lo + self.batch_size]
-                    pairs = [(j, int(i),
-                              int(self.seed * 1_000_003 + epoch * 7919
-                                  + int(i) * 31 + j))
+                    pairs = [(j, int(i), self._example_seed(epoch, lo + j))
                              for j, i in enumerate(chunk)]
                     fs, ps = slabs[b % len(slabs)] if slabs else (None, None)
                     # one task per worker, NOT per example: a future
@@ -159,15 +184,9 @@ class TrainLoader:
                                  if k not in ("vis_feats", "vis_pe")}
                         batch["vis_feats"] = fs
                         batch["vis_pe"] = ps
-                    while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not _put_stoppable(q, batch, stop):
                         return
-            q.put(None)
+            _put_stoppable(q, None, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -275,17 +294,11 @@ class EvalLoader:
         def producer():
             try:
                 for item in self._batches(pool, slabs):
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not _put_stoppable(q, item, stop):
                         return
-                q.put(None)
+                _put_stoppable(q, None, stop)
             except BaseException as e:  # surface in the consumer
-                q.put(e)
+                _put_stoppable(q, e, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

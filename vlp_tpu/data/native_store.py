@@ -32,10 +32,27 @@ _DTYPES = {0: np.float32, 1: np.float16}
 
 def _load_lib(build: bool = True):
     path = os.path.abspath(_LIB_PATH)
-    if not os.path.isfile(path) and build:
+
+    def _make():
         subprocess.run(["make", "-C", os.path.dirname(path)], check=True,
                        capture_output=True)
+
+    if not os.path.isfile(path) and build:
+        _make()
     lib = ctypes.CDLL(path)
+    # ABI probe: a stale prebuilt library (e.g. from a checkout that still
+    # tracked the .so) lacks the newest entry point and writes fewer
+    # vlps_meta slots — rebuild instead of failing later with a bare
+    # AttributeError.  (make replaces the file, so the reload maps the new
+    # inode rather than the already-open image.)
+    if not hasattr(lib, "vlps_batch_featurize16"):
+        if build:
+            _make()
+            lib = ctypes.CDLL(path)
+        if not hasattr(lib, "vlps_batch_featurize16"):
+            raise OSError(
+                f"{path} is stale (missing vlps_batch_featurize16); "
+                "rebuild with `make -C native` and restart")
     lib.vlps_open.restype = ctypes.c_void_p
     lib.vlps_open.argtypes = [ctypes.c_char_p]
     lib.vlps_close.argtypes = [ctypes.c_void_p]

@@ -103,15 +103,20 @@ def make_shard_map_step(model: VLPModel, tx: optax.GradientTransformation,
             lambda x: P("data", *([None] * (x.ndim - 1))), batch)
 
     def make(state, batch):
+        # metrics pytree derived abstractly from loss_fn so adding/renaming
+        # a key in pretrain_losses can never desynchronise these out_specs
+        # from the single-chip path (was a hard-coded key list)
+        _, metrics_tree = jax.eval_shape(
+            functools.partial(ts.loss_fn, model, task=task,
+                              mask_image_regions=mask_image_regions,
+                              drop_worst_ratio=0.0),
+            state.params, batch, jax.random.PRNGKey(0))
         fn = shard_map(
             local_step, mesh=mesh,
             in_specs=(jax.tree_util.tree_map(lambda _: rep, state),
                       batch_specs(batch), rep, rep),
             out_specs=(jax.tree_util.tree_map(lambda _: rep, state),
-                       jax.tree_util.tree_map(lambda _: rep,
-                                              {"loss": rep, "masked_lm_loss": rep,
-                                               "pretext_loss": rep,
-                                               "vqa2_loss": rep})),
+                       jax.tree_util.tree_map(lambda _: rep, metrics_tree)),
             check_vma=False)
         return jax.jit(fn)
 

@@ -90,10 +90,11 @@ def make_optimizer(cfg: VLPConfig, params, *, lr: float, warmup: float = 0.1,
 def create_train_state(model: VLPModel, cfg: VLPConfig, rng, *, lr: float,
                        warmup: float = 0.1, t_total: int = -1,
                        schedule: str = "warmup_linear",
+                       weight_decay: float = 0.01,
                        task: str = "img2txt"):
     params = init_params(model, cfg, rng, task)
     tx = make_optimizer(cfg, params, lr=lr, warmup=warmup, t_total=t_total,
-                        schedule=schedule)
+                        schedule=schedule, weight_decay=weight_decay)
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.zeros((), jnp.int32)), tx
 

@@ -41,17 +41,14 @@ def clean_rollout(ids: np.ndarray, eos_id: int, pad_id: int) -> np.ndarray:
     """Zero everything after the first EOS/PAD, keeping a terminating EOS
     (run_img2txt_dist.py:497-515 semantics, vectorised)."""
     ids = np.asarray(ids)
-    out = np.zeros_like(ids)
     B, T = ids.shape
-    for b in range(B):
-        for t in range(T):
-            tok = ids[b, t]
-            if tok != eos_id and tok != pad_id:
-                out[b, t] = tok
-            else:
-                if tok == eos_id:
-                    out[b, t] = eos_id
-                break
+    term = (ids == eos_id) | (ids == pad_id)
+    first = np.where(term.any(axis=1), term.argmax(axis=1), T)
+    out = np.where(np.arange(T)[None, :] < first[:, None], ids, 0)
+    # a row whose first terminator is EOS keeps that EOS
+    keeps_eos = (first < T) & (ids[np.arange(B), np.minimum(first, T - 1)]
+                               == eos_id)
+    out[keeps_eos, first[keeps_eos]] = eos_id
     return out
 
 
