@@ -65,6 +65,64 @@ def test_batch_get_threaded(packed):
             rtol=2e-5, atol=2e-5)
 
 
+def test_gather_into_matches_per_example(packed):
+    """One-call batched gather into slabs (the loader hot path) must equal
+    per-example get_into byte-for-byte."""
+    path, keys, records = packed
+    store = native.PackedFeatureStore(path, n_threads=4)
+    sel = keys[3:9]
+    fb = np.empty((len(sel), store.n_regions, store.feat_dim), np.float32)
+    pb = np.empty((len(sel), store.n_regions, store.pe_dim), np.float32)
+    store.gather_into(sel, fb, pb)
+    for j, k in enumerate(sel):
+        f1 = np.empty((store.n_regions, store.feat_dim), np.float32)
+        p1 = np.empty((store.n_regions, store.pe_dim), np.float32)
+        store.get_into(k, f1, p1)
+        np.testing.assert_array_equal(fb[j], f1)
+        np.testing.assert_array_equal(pb[j], p1)
+    with pytest.raises(KeyError):
+        store.gather_into(["nope"], fb[:1], pb[:1])
+
+
+def test_trainloader_batched_gather_matches_per_example(packed):
+    """TrainLoader with a gather_into-capable store + slabs (batched C++
+    path) must yield exactly the batches of the per-example path."""
+    from vlp_tpu.data.dataset import CaptionExample
+    from vlp_tpu.data.example_builder import TrainExampleBuilder
+    from vlp_tpu.data.loader import TrainLoader
+    from vlp_tpu.config import VLPConfig
+
+    path, keys, records = packed
+    store = native.PackedFeatureStore(path, n_threads=2)
+    cfg = VLPConfig.tiny(vocab_size=32, hidden_size=32, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=32,
+                         len_vis_input=store.n_regions, max_len_b=5,
+                         max_pred=3, vis_feat_dim=store.feat_dim,
+                         vis_cls_dim=store.cls_dim,
+                         vis_pe_dim=store.pe_dim)
+    vocab = {w: i for i, w in enumerate(
+        ["[PAD]", "[UNK]", "[X_SEP]", "[CLS]", "[SEP]", "[MASK]", "a",
+         "man", "dog", "rides"])}
+    builders = [TrainExampleBuilder(cfg, vocab, mode="s2s"),
+                TrainExampleBuilder(cfg, vocab, mode="bi")]
+    exs = [CaptionExample(k, ["a", "man", "rides"], image_id=i)
+           for i, k in enumerate(keys)]
+
+    def run(slots):
+        loader = TrainLoader(exs, store, builders, [0.75, 0.25],
+                             batch_size=4, num_workers=2, seed=3,
+                             feature_slab_slots=slots)
+        return [{k2: v.copy() for k2, v in b.items()}
+                for b in loader.epoch(0)]
+
+    base = run(0)       # per-example store.get path
+    fast = run(6)       # slab + gather_into path
+    assert len(base) == len(fast) == 5
+    for b1, b2 in zip(base, fast):
+        for k2 in b1:
+            np.testing.assert_array_equal(b1[k2], b2[k2], err_msg=k2)
+
+
 def test_missing_key(packed):
     path, keys, _ = packed
     store = native.PackedFeatureStore(path)

@@ -277,6 +277,71 @@ class TestSCST:
         np.testing.assert_array_equal(
             out, [[5, 6, 4, 0, 0], [5, 0, 0, 0, 0], [5, 6, 7, 8, 9]])
 
+    def test_reward_criterion_torch_oracle(self):
+        """losses.scst_reward_loss vs a direct torch transcription of the
+        reference RewardCriterion (scst_utils.py:66-78)."""
+        import torch
+        from vlp_tpu.losses import scst_reward_loss
+
+        def torch_reward_criterion(inp, seq, reward):
+            inp = inp.contiguous().view(-1)
+            reward = reward.contiguous().view(-1)
+            mask = (seq > 0).float()
+            mask = torch.cat(
+                [mask.new(mask.size(0), 1).fill_(1), mask[:, :-1]],
+                1).contiguous().view(-1)
+            out = -inp * reward * mask
+            return torch.sum(out) / torch.sum(mask)
+
+        r = np.random.default_rng(3)
+        B, T = 7, 12
+        logp = r.normal(-2, 1, (B, T)).astype(np.float32)
+        seq = r.integers(0, 6, (B, T)).astype(np.int64)
+        seq[2, 5:] = 0  # a finished row
+        rew = np.repeat(r.normal(0, 2, (B, 1)), T, 1).astype(np.float32)
+        want = float(torch_reward_criterion(
+            torch.tensor(logp), torch.tensor(seq), torch.tensor(rew)))
+        got = float(scst_reward_loss(jnp.asarray(logp), jnp.asarray(seq),
+                                     jnp.asarray(rew)))
+        assert got == pytest.approx(want, rel=1e-6)
+
+    def test_get_self_critical_reward_oracle(self):
+        """scst.get_self_critical_reward vs a transcription of the
+        reference function (scst_utils.py:36-63) scored with the
+        independent pycocoevalcap-oracle CIDEr."""
+        from pycoco_oracle import oracle_cider
+
+        def ref_array_to_str(arr):
+            out = ""
+            for x in arr:
+                out += str(int(x)) + " "
+                if int(x) == 0:
+                    break
+            return out.strip()
+
+        def ref_reward(greedy_res, gt_ids, gen_result):
+            B, T = gen_result.shape
+            res = {i: [ref_array_to_str(gen_result[i])] for i in range(B)}
+            res.update({B + i: [ref_array_to_str(greedy_res[i])]
+                        for i in range(B)})
+            gts = {i: [ref_array_to_str(gt_ids[i])] for i in range(B)}
+            gts.update({B + i: [ref_array_to_str(gt_ids[i])]
+                        for i in range(B)})
+            _, scores = oracle_cider(gts, res)
+            scores = np.asarray(scores)
+            return np.repeat((scores[:B] - scores[B:])[:, None], T, 1)
+
+        r = np.random.default_rng(5)
+        B, T = 6, 8
+        gt = r.integers(1, 9, (B, T))
+        greedy = gt.copy()
+        greedy[::2, -3:] = r.integers(1, 9, (B // 2 + B % 2, 3))
+        sample = r.integers(1, 9, (B, T))
+        sample[1] = gt[1]  # one perfect sample
+        want = ref_reward(greedy, gt, sample)
+        got = scst_lib.get_self_critical_reward(greedy, gt, sample)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
     def test_clean_rollout_matches_loop_oracle(self):
         """Vectorised cleanup vs the reference's per-token loop semantics
         (run_img2txt_dist.py:497-515) on random rollouts."""

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--slab_slots", type=int, default=0,
                     help="recycled feature-buffer pool size (0 = allocate "
                          "fresh arrays per batch)")
+    ap.add_argument("--ab", action="store_true",
+                    help="interleaved A/B: per-example get_into vs one-call "
+                         "batched gather_into (needs --packed + "
+                         "--slab_slots)")
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     from vlp_tpu.config import VLPConfig
@@ -97,21 +102,54 @@ def main():
                          args.batch, num_workers=args.num_workers,
                          feature_slab_slots=args.slab_slots)
 
-    # warm-up: thread-pool spin-up + one rotation through the slab pool
-    # (each slab slot pays first-touch page faults exactly once)
-    warm = (args.slab_slots or 0) + 1
-    it = loader.epoch(0)
-    for _ in range(warm):
-        next(it)
-    t0 = time.perf_counter()
-    n = 0
-    for batch in it:
-        n += args.batch
-    dt = time.perf_counter() - t0
-    print(f"loader: {n / dt:.1f} samples/sec on host "
+    def run_epoch(ldr, epoch):
+        """Timed epoch after warm-up batches (slab pool first-touch)."""
+        warm = (ldr.feature_slab_slots or 0) + 1
+        it = ldr.epoch(epoch)
+        for _ in range(warm):
+            next(it)
+        t0 = time.perf_counter()
+        n = 0
+        for _ in it:
+            n += args.batch
+        return n / (time.perf_counter() - t0)
+
+    if args.ab and args.slab_slots:
+        # A/B: per-example get_into vs one-call batched gather_into,
+        # interleaved in ONE process (this box carries external load;
+        # separate runs vary 2-4x — compare best-of interleaved reps)
+        if not hasattr(store, "gather_into"):
+            print("store has no gather_into; --ab needs --packed")
+            return
+
+        class NoGather:  # proxy hiding gather_into -> per-example path
+            def __init__(self, inner):
+                self._inner = inner
+
+            def __getattr__(self, k):
+                if k == "gather_into":
+                    raise AttributeError(k)
+                return getattr(self._inner, k)
+
+        slow = TrainLoader(examples, NoGather(store), builders, [0.75, 0.25],
+                           args.batch, num_workers=args.num_workers,
+                           feature_slab_slots=args.slab_slots)
+        best = {"per_example": 0.0, "batched": 0.0}
+        for rep in range(args.reps):
+            best["per_example"] = max(best["per_example"],
+                                      run_epoch(slow, rep))
+            best["batched"] = max(best["batched"], run_epoch(loader, rep))
+        print(f"A/B best-of-{args.reps}: per-example "
+              f"{best['per_example']:.1f} vs batched-gather "
+              f"{best['batched']:.1f} samples/sec "
+              f"({best['batched'] / max(best['per_example'], 1e-9):.2f}x)")
+        return
+
+    sps = run_epoch(loader, 0)
+    print(f"loader: {sps:.1f} samples/sec on host "
           f"({args.num_workers} workers, B={args.batch}); "
-          f"chip consumes ~1080/s -> "
-          f"{'OK' if n / dt > 1080 else 'INPUT-BOUND'}")
+          f"chip consumes ~1334/s -> "
+          f"{'OK' if sps > 1334 else 'INPUT-BOUND'}")
 
 
 if __name__ == "__main__":

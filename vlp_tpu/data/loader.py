@@ -103,11 +103,16 @@ class TrainLoader:
             (self.seed, epoch, self.process_index, pos))
 
     def _build_one(self, ex_idx: int, sample_seed, feat_out=None,
-                   pe_out=None) -> Dict[str, np.ndarray]:
+                   pe_out=None, preloaded: bool = False
+                   ) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(sample_seed)
         ex = self.examples[ex_idx]
         b = self.builders[rng.choice(len(self.builders), p=self.builder_probs)]
-        if feat_out is not None:
+        if preloaded:
+            # features already gathered batch-wise into the slab rows
+            # (store.gather_into) — only the token side is built here
+            feat, pe = feat_out, pe_out
+        elif feat_out is not None:
             if hasattr(self.store, "get_into"):
                 self.store.get_into(ex.feature_key, feat_out, pe_out)
             else:
@@ -146,10 +151,11 @@ class TrainLoader:
         stop = threading.Event()
         slabs = self._make_slabs() if self.feature_slab_slots else None
 
-        def build_slice(pairs, fs, ps):
+        def build_slice(pairs, fs, ps, preloaded=False):
             return [self._build_one(i, s,
                                     feat_out=None if fs is None else fs[j],
-                                    pe_out=None if ps is None else ps[j])
+                                    pe_out=None if ps is None else ps[j],
+                                    preloaded=preloaded)
                     for j, i, s in pairs]
 
         def producer():
@@ -157,6 +163,9 @@ class TrainLoader:
                 _produce()
             except BaseException as e:  # surface in the consumer, not a hang
                 _put_stoppable(q, e, stop)
+
+        batched_gather = (slabs is not None
+                          and hasattr(self.store, "gather_into"))
 
         def _produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
@@ -166,12 +175,22 @@ class TrainLoader:
                     pairs = [(j, int(i), self._example_seed(epoch, lo + j))
                              for j, i in enumerate(chunk)]
                     fs, ps = slabs[b % len(slabs)] if slabs else (None, None)
+                    if batched_gather:
+                        # whole-batch feature fetch in ONE native call
+                        # (threaded C++, GIL released) instead of
+                        # per-example get_into round-trips — the feature
+                        # bytes dominate host pipeline time
+                        n = len(chunk)
+                        self.store.gather_into(
+                            [self.examples[int(i)].feature_key
+                             for i in chunk], fs[:n], ps[:n])
                     # one task per worker, NOT per example: a future
                     # handoff costs a GIL wake (~ms on busy hosts), which at
                     # per-example granularity starves the accelerator
                     w = max(1, self.num_workers)
                     per = -(-len(pairs) // w)
-                    futs = [pool.submit(build_slice, pairs[k:k + per], fs, ps)
+                    futs = [pool.submit(build_slice, pairs[k:k + per], fs, ps,
+                                        batched_gather)
                             for k in range(0, len(pairs), per)]
                     built = [ex for f in futs for ex in f.result()]
                     if slabs is None:

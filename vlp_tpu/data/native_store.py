@@ -131,6 +131,9 @@ class PackedFeatureStore:
         self.dtype = np.dtype(_DTYPES[dtype_flag])
         self.pe_dim = 6 + self.cls_dim
         self.n_threads = n_threads
+        # key -> record index memo: keys repeat every epoch, and a python
+        # dict hit is ~10x cheaper than a ctypes vlps_find round-trip
+        self._idx_memo: dict = {}
 
     def close(self):
         if getattr(self, "handle", None):
@@ -148,7 +151,12 @@ class PackedFeatureStore:
         return key.split("/")[-1].split(".")[0]
 
     def find(self, key: str) -> int:
-        return int(self.lib.vlps_find(self.handle, self._key(key).encode()))
+        idx = self._idx_memo.get(key)
+        if idx is None:
+            idx = int(self.lib.vlps_find(self.handle,
+                                         self._key(key).encode()))
+            self._idx_memo[key] = idx
+        return idx
 
     def _featurize_into(self, idx: np.ndarray, feat2d: np.ndarray,
                         pe2d: np.ndarray) -> int:
@@ -208,6 +216,25 @@ class PackedFeatureStore:
             raise RuntimeError("vlps_batch_featurize failed")
         return (feat.reshape(n, self.n_regions, self.feat_dim),
                 pe.reshape(n, self.n_regions, self.pe_dim))
+
+    def gather_into(self, keys: Sequence[str], feat_batch: np.ndarray,
+                    pe_batch: np.ndarray) -> None:
+        """Whole-batch gather + fused featurization into caller-provided
+        slabs with ONE native call (threaded in C++, GIL released) — the
+        loader's hot path.  ``feat_batch``/``pe_batch``: C-contiguous
+        [n, n_regions, feat_dim] / [n, n_regions, pe_dim], fp32 or fp16.
+        Replaces n per-example ``get_into`` ctypes round-trips."""
+        n = len(keys)
+        idx = np.fromiter((self.find(k) for k in keys), np.int64, count=n)
+        if (idx < 0).any():
+            missing = [k for k, i in zip(keys, idx) if i < 0]
+            raise KeyError(f"missing keys: {missing[:5]}")
+        assert feat_batch.shape == (n, self.n_regions, self.feat_dim)
+        assert pe_batch.shape == (n, self.n_regions, self.pe_dim)
+        rc = self._featurize_into(idx, feat_batch.reshape(n, -1),
+                                  pe_batch.reshape(n, -1))
+        if rc != 0:
+            raise RuntimeError("vlps_batch_featurize failed")
 
     def raw(self, key: str):
         """(feat, cls, bbox) raw arrays — for repacking/debugging."""
