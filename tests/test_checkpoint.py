@@ -173,6 +173,73 @@ class TestStepCheckpoints:
                                      st.opt_state)
         assert int(opt["step"]) == 12
 
+    def test_legacy_head_checkpoint_roundtrip(self, rng):
+        """Reference-named legacy-head weights (cls.seq_relationship.*,
+        classifier.*, qa_outputs.*, rel_emb.* — modeling.py:878-978,
+        1497-1966) must load into heads_legacy params and convert back
+        unchanged."""
+        from vlp_tpu.models import heads_legacy as hl
+        cfg = tiny_cfg()
+        H = cfg.hidden_size
+        r = lambda *s: rng.normal(scale=0.05, size=s).astype(np.float32)
+
+        # -- BertForSequenceClassification: backbone + classifier ----------
+        sd = make_ref_state_dict(cfg, rng, with_vqa=False)
+        sd["cls.seq_relationship.weight"] = r(2, H)
+        sd["cls.seq_relationship.bias"] = r(2)
+        sd["classifier.weight"] = r(3, H)
+        sd["classifier.bias"] = r(3)
+        model = hl.BertForSequenceClassification(cfg, num_labels=3)
+        ids = jnp.zeros((2, cfg.seq_len), jnp.int32)
+        tpl = model.init(jax.random.PRNGKey(0), ids)["params"]
+        params = ckpt.torch_to_legacy_head_params(dict(sd), cfg, tpl)
+        np.testing.assert_array_equal(params["classifier"]["kernel"],
+                                      sd["classifier.weight"].T)
+        np.testing.assert_array_equal(
+            params["backbone"]["vlp"]["pooler_dense"]["kernel"],
+            sd["bert.pooler.dense.weight"].T)
+        # value check: converted forward differs from template forward
+        back = ckpt.legacy_head_params_to_torch(params, cfg)
+        np.testing.assert_array_equal(back["classifier.weight"],
+                                      sd["classifier.weight"])
+        np.testing.assert_array_equal(
+            back["bert.encoder.layer.0.attention.self.query.weight"],
+            sd["bert.encoder.layer.0.attention.self.query.weight"])
+
+        # -- BertForQuestionAnswering --------------------------------------
+        sd["qa_outputs.weight"] = r(2, H)
+        sd["qa_outputs.bias"] = r(2)
+        qa = hl.BertForQuestionAnswering(cfg)
+        tpl = qa.init(jax.random.PRNGKey(0), ids)["params"]
+        params = ckpt.torch_to_legacy_head_params(dict(sd), cfg, tpl)
+        np.testing.assert_array_equal(params["qa_outputs"]["kernel"],
+                                      sd["qa_outputs.weight"].T)
+
+        # -- BertForPreTraining (NSP head) ---------------------------------
+        pre = hl.BertForPreTraining(cfg)
+        tpl = pre.init(jax.random.PRNGKey(0), ids)["params"]
+        params = ckpt.torch_to_legacy_head_params(dict(sd), cfg, tpl)
+        np.testing.assert_array_equal(params["seq_relationship"]["kernel"],
+                                      sd["cls.seq_relationship.weight"].T)
+
+        # -- PairRelHead (BertPreTrainingPairRel) --------------------------
+        prl = hl.PairRelHead(cfg, num_rel=4)
+        px = jnp.zeros((2, 3, H), jnp.float32)
+        tpl = prl.init(jax.random.PRNGKey(0), px, px,
+                       jnp.zeros((2, 3), jnp.int32),
+                       jnp.ones((2, 3), jnp.float32))["params"]
+        sd2 = {"R_xy.dense.weight": r(H, 2 * H),
+               "R_xy.dense.bias": r(H),
+               "rel_emb.weight": r(4, H)}
+        params = ckpt.torch_to_legacy_head_params(dict(sd2), cfg, tpl)
+        np.testing.assert_array_equal(params["pair_dense"]["kernel"],
+                                      sd2["R_xy.dense.weight"].T)
+        np.testing.assert_array_equal(params["rel_emb"]["embedding"],
+                                      sd2["rel_emb.weight"])
+        back = ckpt.legacy_head_params_to_torch(params, cfg)
+        np.testing.assert_array_equal(back["rel_emb.weight"],
+                                      sd2["rel_emb.weight"])
+
     def test_step_list_robust_to_model_dot_in_dirname(self, tmp_path):
         """output_dir paths containing '/model.' (e.g. runs/model.v2) used to
         throw every optim.s* path into the models set, silently disabling

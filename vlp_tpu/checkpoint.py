@@ -184,6 +184,92 @@ def torch_to_params(sd: Dict[str, np.ndarray], cfg: VLPConfig,
     return params
 
 
+# reference legacy-head parameter names (modeling.py:878-978, 1497-1966)
+# -> flax paths inside the heads_legacy modules.  The two structurally
+# divergent heads are intentionally absent: BertForExtractiveSummarization
+# (reference uses a secondary 2-row embedding + a second BertPreTrainingHeads,
+# modeling.py:1500-1504; here a single extract dense) — capability-only.
+LEGACY_HEAD_MAP: Dict[str, tuple] = {
+    "cls.seq_relationship.weight": (("seq_relationship", "kernel"), True),
+    "cls.seq_relationship.bias": (("seq_relationship", "bias"), False),
+    "classifier.weight": (("classifier", "kernel"), True),
+    "classifier.bias": (("classifier", "bias"), False),
+    "qa_outputs.weight": (("qa_outputs", "kernel"), True),
+    "qa_outputs.bias": (("qa_outputs", "bias"), False),
+    "R_xy.dense.weight": (("pair_dense", "kernel"), True),
+    "R_xy.dense.bias": (("pair_dense", "bias"), False),
+    "rel_emb.weight": (("rel_emb", "embedding"), False),
+}
+
+
+def _tree_get(tree, path):
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def _tree_set(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    node[path[-1]] = value
+
+
+def _legacy_mapping(cfg: VLPConfig, params_template) -> Dict[str, tuple]:
+    """torch name -> (flax path, transpose) for a heads_legacy module:
+    backbone keys under ('backbone', 'vlp') plus whichever LEGACY_HEAD_MAP
+    paths exist in this head's template."""
+    m = {tk: ((("backbone", "vlp") + path), t)
+         for tk, (path, t) in _torch_to_flax_map(cfg).items()}
+    for tk, (path, t) in LEGACY_HEAD_MAP.items():
+        if _tree_get(params_template, path) is not None:
+            m[tk] = (path, t)
+    return m
+
+
+def torch_to_legacy_head_params(sd: Dict[str, np.ndarray], cfg: VLPConfig,
+                                params_template: Dict[str, Any],
+                                task_idx: Optional[int] = None
+                                ) -> Dict[str, Any]:
+    """Load a reference-named legacy-head checkpoint (BertForPreTraining,
+    BertForSequenceClassification, BertForQuestionAnswering, ... —
+    modeling.py:878-978, 1497-1966) into a ``models.heads_legacy`` module's
+    param tree.  Backbone keys go through the same surgery as the VLP path;
+    head keys follow LEGACY_HEAD_MAP; anything absent from the checkpoint
+    keeps the template's fresh values (reference from_pretrained
+    semantics)."""
+    import copy
+
+    sd = apply_surgery(sd, cfg, task_idx)
+    params = copy.deepcopy(jax_tree_to_numpy(params_template))
+    for tk, (path, transpose) in _legacy_mapping(cfg, params).items():
+        if tk not in sd:
+            continue
+        tpl = _tree_get(params, path)
+        if tpl is None:
+            continue  # this head doesn't have the (backbone) submodule
+        v = sd[tk].T if transpose else sd[tk]
+        assert v.shape == tpl.shape, f"{tk}: {v.shape} != {tpl.shape}"
+        _tree_set(params, path, v.astype(tpl.dtype))
+    return params
+
+
+def legacy_head_params_to_torch(params: Dict[str, Any], cfg: VLPConfig
+                                ) -> Dict[str, np.ndarray]:
+    """Reverse: heads_legacy params -> reference-named state dict."""
+    params = jax_tree_to_numpy(params)
+    out: Dict[str, np.ndarray] = {}
+    for tk, (path, transpose) in _legacy_mapping(cfg, params).items():
+        v = _tree_get(params, path)
+        if v is None:
+            continue
+        out[tk] = np.asarray(v).T if transpose else np.asarray(v)
+    return out
+
+
 def params_to_torch(params: Dict[str, Any], cfg: VLPConfig
                     ) -> Dict[str, np.ndarray]:
     """Reverse mapping: flax params -> reference-format state dict (so
