@@ -54,7 +54,10 @@ def compute_bleu(gts: Dict, res: Dict, n_max: int = 4
     def _bleu(match, count, hl, rl):
         out = []
         logp = 0.0
-        bp = 1.0 if hl >= rl else math.exp(1 - rl / max(hl, 1) if hl > 0 else 0)
+        # brevity penalty exactly as bleu_scorer.py: ratio guarded by
+        # tiny/small so an empty hypothesis scores ~0, not bp=1
+        ratio = (hl + TINY) / (rl + SMALL)
+        bp = 1.0 if ratio >= 1.0 else math.exp(1 - 1 / ratio)
         for n in range(n_max):
             p = (match[n] + TINY) / (count[n] + SMALL)
             logp += math.log(p)

@@ -13,24 +13,13 @@ from __future__ import annotations
 
 import json
 import os
-import re
 from collections import defaultdict
 from typing import Dict, List
 
 from vlp_tpu.evals.bleu import compute_bleu
 from vlp_tpu.evals.cider import CiderScorer
+from vlp_tpu.evals.ptbtok import ptb_tokenize  # noqa: F401 (re-exported)
 from vlp_tpu.evals.rouge import compute_rouge
-
-_PUNCT = re.compile(
-    r"[\"'`!?.,;:\-\[\]\(\)\{\}<>@#$%^&*+=~/\\|_]")
-
-
-def ptb_tokenize(caption: str) -> str:
-    """Approximation of the PTBTokenizer normalisation used by coco-caption:
-    lowercase, strip punctuation, collapse whitespace."""
-    s = caption.lower()
-    s = _PUNCT.sub(" ", s)
-    return " ".join(s.split())
 
 
 def load_references(ann_file: str) -> Dict[int, List[str]]:
@@ -76,9 +65,20 @@ def language_eval(ann_file: str, preds: List[dict], model_id: str,
         out["CIDEr"] = cider
         rouge, rouge_img = compute_rouge(gts, res)
         out["ROUGE_L"] = rouge
-        from vlp_tpu.evals.meteor import compute_meteor
-        meteor, _ = compute_meteor(gts, res)
+        from vlp_tpu.evals.meteor import (compute_meteor, meteor_bounds,
+                                          wordnet_synonyms)
+        syn = wordnet_synonyms()  # synonym stage when WordNet is installed
+        meteor, _ = compute_meteor(gts, res, syn)
         out["METEOR"] = meteor
+        # upper bound of the Java implementation's score given the stages
+        # that cannot run here (see evals/meteor.py docstring) — the
+        # METEOR..METEOR_ub interval quantifies the residual delta
+        out["METEOR_ub"] = meteor_bounds(gts, res, syn)[1]
+        # SPICE: exact published scoring over an approximate (rule-based)
+        # scene-graph parse — consistent across compared models; plug an
+        # external parser via evals/spice.compute_spice for Java parity
+        from vlp_tpu.evals.spice import compute_spice
+        out["SPICE"], _ = compute_spice(gts, res, syn)
         for j, k in enumerate(res):
             img_scores[k] = {"CIDEr": cider_img[j], "ROUGE_L": rouge_img[j],
                              "Bleu_4": bleu_img[j][3]}

@@ -21,17 +21,25 @@ def _lcs_len(a: List[str], b: List[str]) -> int:
 
 
 def _score_pair(hyp: List[str], refs: List[List[str]]) -> float:
-    best = 0.0
+    # pycocoevalcap quirk (rouge.py calc_score): max precision and max
+    # recall are taken INDEPENDENTLY across references, then combined —
+    # NOT max-F over references.  When the best-precision and best-recall
+    # references differ, the two formulations disagree; match the scorer
+    # the reference's published numbers came from.
+    if not hyp:
+        return 0.0
+    prec_max = 0.0
+    rec_max = 0.0
     for ref in refs:
-        lcs = _lcs_len(hyp, ref)
-        if lcs == 0:
+        if not ref:
             continue
-        prec = lcs / len(hyp)
-        rec = lcs / len(ref)
-        if prec and rec:
-            f = ((1 + BETA ** 2) * prec * rec) / (rec + BETA ** 2 * prec)
-            best = max(best, f)
-    return best
+        lcs = _lcs_len(hyp, ref)
+        prec_max = max(prec_max, lcs / len(hyp))
+        rec_max = max(rec_max, lcs / len(ref))
+    if prec_max == 0.0 or rec_max == 0.0:
+        return 0.0
+    return ((1 + BETA ** 2) * prec_max * rec_max) / (
+        rec_max + BETA ** 2 * prec_max)
 
 
 def compute_rouge(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
