@@ -1,7 +1,7 @@
 """Benchmark: CC-pretraining training throughput per chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Baseline (BASELINE.md): the reference pretrains Conceptual Captions at
 5 hr/epoch on 8x V100 with per-GPU batch 64 (README.md:91).  Taking the CC
@@ -10,14 +10,35 @@ train split as ~3.0M image-text pairs, that is
 ``vs_baseline`` is our measured samples/sec on ONE TPU chip divided by that
 per-GPU number.
 
-The benchmarked step is the full pretraining update: bert-base VLP model,
-joint s2s/bi batch, masked-LM + region-pretext losses, region masking,
-Pallas fused attention, bf16 activations, BertAdam — jitted end to end,
-K=20 steps scanned per dispatch, dropout masks from the hardware rbg
-PRNG stream (train_step.fast_prng_key).
+Two measurements:
+
+1. ``value`` (headline, comparable round-over-round): the device-resident
+   full pretraining update — bert-base VLP model, joint s2s/bi batch,
+   masked-LM + region-pretext losses, region masking, Pallas fused
+   attention, bf16 activations, BertAdam — jitted end to end, K steps
+   scanned per dispatch, batches already in HBM.
+
+2. The REAL training path (extras): TrainLoader (packed fp16 native
+   feature store, batched C++ gather, recycled slabs) -> stack_batches ->
+   the same jitted multi-step, pipelined exactly like cli/train.py's
+   device loop (deferred metric fetch).
+   * ``host_loader_sps`` — the loader alone sustained >=15s: the rate at
+     which this host can produce ready-to-transfer batches.  This is the
+     host-gap check: >= ``value`` means the host can feed the chip.
+   * ``h2d_mbps`` — measured host->device bandwidth.
+   * ``sustained_e2e_sps`` — the full loader->device pipeline sustained
+     >=60s, measured ONLY when the device link is real (CPU backend, or
+     h2d >= 100 MB/s).  The dev harness reaches its TPU through an axon
+     network tunnel at ~2 MB/s (measured; a stacked fp16 batch would take
+     minutes — see .claude/skills/verify/SKILL.md), 3-4 orders of
+     magnitude below a TPU VM's PCIe DMA, so through the tunnel the line
+     instead reports ``sustained_e2e_projected_sps`` =
+     min(host_loader_sps, value), the rate the same pipeline sustains
+     when the link is not the dev tunnel.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -26,12 +47,136 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_SEC_PER_GPU = 3.0e6 / (5 * 3600) / 8  # 20.83
 
+STORE_KEYS = 256
+STORE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".cache", "bench_feat_fp16.vlps")
+
+
+def _ensure_store(cfg):
+    """Packed fp16 feature store with synthetic records (built once,
+    reused across rounds)."""
+    from vlp_tpu.data.native_store import PackedFeatureStore, pack_store
+    if not os.path.exists(STORE_CACHE):
+        os.makedirs(os.path.dirname(STORE_CACHE), exist_ok=True)
+        rng = np.random.default_rng(1)
+
+        def rec(_k):
+            feat = rng.normal(size=(cfg.len_vis_input, cfg.vis_feat_dim)
+                              ).astype(np.float32)
+            cls = rng.uniform(size=(cfg.len_vis_input, cfg.vis_cls_dim)
+                              ).astype(np.float32)
+            bbox = np.zeros((cfg.len_vis_input, 6), np.float32)
+            xy = rng.uniform(0, 600, (cfg.len_vis_input, 2))
+            wh = rng.uniform(10, 200, (cfg.len_vis_input, 2))
+            bbox[:, :2] = xy
+            bbox[:, 2:4] = xy + wh
+            bbox[:, 5] = rng.uniform(0.2, 1.0, cfg.len_vis_input)
+            return feat, cls, bbox
+
+        pack_store(STORE_CACHE, [f"img_{i}" for i in range(STORE_KEYS)], rec,
+                   n_regions=cfg.len_vis_input, feat_dim=cfg.vis_feat_dim,
+                   cls_dim=cfg.vis_cls_dim, dtype=np.float16)
+    return PackedFeatureStore(STORE_CACHE)
+
+
+def _make_loader(cfg, store, batch_size, k_loop, n_examples=40000):
+    from vlp_tpu.data.dataset import CaptionExample
+    from vlp_tpu.data.example_builder import TrainExampleBuilder
+    from vlp_tpu.data.loader import TrainLoader
+    words = [f"w{i}" for i in range(1000)]
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[X_SEP]": 2, "[CLS]": 3, "[SEP]": 4,
+             "[MASK]": 5}
+    vocab.update({w: i + 10 for i, w in enumerate(words)})
+    rng = np.random.default_rng(0)
+    examples = [
+        CaptionExample(f"img_{i % STORE_KEYS}.npy",
+                       [words[rng.integers(0, 1000)]
+                        for _ in range(int(rng.integers(5, 16)))],
+                       image_id=i)
+        for i in range(n_examples)]
+    builders = [TrainExampleBuilder(cfg, vocab, mode="s2s",
+                                    max_pred=cfg.max_pred,
+                                    new_segment_ids=True),
+                TrainExampleBuilder(cfg, vocab, mode="bi",
+                                    max_pred=cfg.max_pred,
+                                    new_segment_ids=True)]
+    slab_slots = 4 + 2 + k_loop + 1  # same sizing as cli/train.py
+    return TrainLoader(examples, store, builders, [0.75, 0.25],
+                       batch_size=batch_size, num_workers=4,
+                       feature_slab_slots=slab_slots)
+
+
+def _bench_host_loader(loader, batch_size, min_seconds=15.0):
+    """Loader-only sustained rate (the host-gap check: can this host
+    produce batches at least as fast as the chip consumes them?)."""
+    it = loader.epoch(0)
+    for _ in range(loader.feature_slab_slots + 1):  # slab first-touch warmup
+        next(it)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in it:
+        n += batch_size
+        if time.perf_counter() - t0 >= min_seconds:
+            break
+    return n / (time.perf_counter() - t0)
+
+
+def _bench_sustained(loader, multi, state, ts, batch_size, k_loop,
+                     min_seconds=60.0):
+    """Full pipeline: loader -> stack -> transfer -> K-step device loop,
+    pipelined one dispatch deep (cli/train.py device-loop pattern)."""
+    stack_pool = [None, None]
+    pending = []
+    pending_ms = None
+    dispatches = 0
+    warmed = False
+    it = loader.epoch(1)
+    for _ in range(loader.feature_slab_slots + 1):
+        next(it)  # slab warmup outside the timed window
+    t0 = None
+    for step_i, batch in enumerate(it):
+        pending.append(batch)
+        if len(pending) < k_loop:
+            continue
+        slot = dispatches % 2
+        stack_pool[slot] = ts.stack_batches(pending, out=stack_pool[slot])
+        stacked = {k: jnp.asarray(v) for k, v in stack_pool[slot].items()}
+        pending = []
+        state, ms = multi(state, stacked, ts.fast_prng_key(step_i), 0.0)
+        if not warmed:
+            # first dispatch compiles (K2-shaped program) — keep it out of
+            # the timed window
+            float(np.asarray(ms["loss"])[-1])
+            warmed = True
+            t0 = time.perf_counter()
+            continue
+        if pending_ms is not None:
+            float(np.asarray(pending_ms["loss"])[-1])  # force completion
+        pending_ms = ms
+        dispatches += 1
+        if time.perf_counter() - t0 >= min_seconds and dispatches >= 2:
+            break
+    if pending_ms is not None:
+        float(np.asarray(pending_ms["loss"])[-1])
+    if t0 is None or dispatches == 0:
+        return 0.0, state
+    dt = time.perf_counter() - t0
+    return batch_size * k_loop * dispatches / dt, state
+
+
+def _bench_h2d(nbytes_target):
+    x = np.zeros(nbytes_target, np.uint8)
+    jax.device_put(x[:1024]).block_until_ready()  # path warmup
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        d = jax.device_put(x)
+        float(jnp.sum(d[:: len(x) // 16].astype(jnp.int32)))  # force
+        best = max(best, x.nbytes / 1e6 / (time.perf_counter() - t0))
+    return best
+
 
 def main():
-    import functools
-
-    import jax.numpy as jnp
-
     from vlp_tpu.config import VLPConfig
     from vlp_tpu.parallel import train_step as ts
     from __graft_entry__ import _example_batch
@@ -50,8 +195,6 @@ def main():
     B = 128 if on_tpu else 8
     K = 20 if on_tpu else 2
     batch = _example_batch(cfg, B, seed=0)
-    # stack K per-step batches on device (features re-drawn per step so the
-    # memory traffic is realistic; host->device transfer happens once)
     stacked = {k: jnp.broadcast_to(v[None], (K,) + v.shape)
                for k, v in batch.items()}
     stacked["vis_feats"] = jax.random.normal(
@@ -69,14 +212,46 @@ def main():
         state, m = multi(state, stacked, ts.fast_prng_key(i + 1), 0.0)
         float(m["loss"][-1])  # force completion
     dt = time.perf_counter() - t0
-
     sps = B * K * outer / dt
-    print(json.dumps({
+
+    out = {
         "metric": "cc_pretrain_samples_per_sec_per_chip",
         "value": round(sps, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC_PER_GPU, 2),
-    }))
+    }
+
+    # ---- sustained end-to-end (real TrainLoader path) --------------------
+    try:
+        K2 = 8 if on_tpu else 2  # smaller K: bounds per-dispatch transfer
+        store = _ensure_store(cfg)
+        loader = _make_loader(cfg, store, B, K2)
+        out["host_loader_sps"] = round(
+            _bench_host_loader(loader, B, 15.0 if on_tpu else 3.0), 1)
+        out["h2d_mbps"] = round(_bench_h2d(8 << 20 if on_tpu else 64 << 20),
+                                1)
+        if not on_tpu or out["h2d_mbps"] >= 100.0:
+            # real device link (TPU VM PCIe, or CPU memcpy): measure the
+            # genuinely-transferred pipeline
+            multi2 = jax.jit(ts.make_multi_step(model, tx,
+                                                mask_image_regions=True),
+                             donate_argnums=(0,))
+            # fresh state: the donated one above is consumed
+            state2, _ = ts.create_train_state(
+                model, cfg, jax.random.PRNGKey(1), lr=1e-4, warmup=0.1,
+                t_total=100000)
+            e2e, _ = _bench_sustained(loader, multi2, state2, ts, B, K2,
+                                      60.0 if on_tpu else 5.0)
+            out["sustained_e2e_sps"] = round(e2e, 1)
+        else:
+            # axon dev tunnel (~2 MB/s measured): a stacked batch takes
+            # minutes to transfer — project instead (see module docstring)
+            out["sustained_e2e_projected_sps"] = round(
+                min(out["host_loader_sps"], sps), 1)
+    except Exception as e:  # the headline metric must still report
+        out["sustained_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

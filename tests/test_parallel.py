@@ -93,6 +93,24 @@ class TestShardMapDP:
                                        rtol=2e-5, atol=2e-6)
 
 
+class TestShardMapPallas:
+    def test_pallas_kernel_under_shard_map(self, rng):
+        """The flagship single-chip recipe (Pallas fused attention) must run
+        per-shard under shard_map DP — the pod configuration.  Interpret
+        mode on the virtual CPU mesh; compiled Mosaic on real chips."""
+        cfg = cfg8().replace(use_pallas_attention=True)
+        model = ts.create_model(cfg)
+        state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                          lr=1e-3, warmup=0.1, t_total=100)
+        mesh = mesh_lib.make_mesh(data=8, model=1)
+        batch = make_batch(cfg, 8, rng)
+        make = pjit_step.make_shard_map_step(model, tx, mesh,
+                                             mask_image_regions=True)
+        step = make(state, batch)
+        state, m = step(state, batch, jax.random.PRNGKey(5), 0.0)
+        assert np.isfinite(float(m["loss"]))
+
+
 class TestGSPMD:
     @pytest.mark.parametrize("model_par", [1, 2])
     def test_dp_tp_step(self, setup, rng, model_par):

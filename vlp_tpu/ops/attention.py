@@ -389,6 +389,29 @@ def attention_pallas(q, k, v, mode, text_end, colkeep, *, prefix: int,
     dropout_rate > 0).  Output layout matches the input layout."""
     assert layout in ("bhld", "blhd"), layout
     B = q.shape[0]
+    if dropout_rate > 0.0 and _interpret():
+        # pltpu's PRNG primitives have no CPU lowering even in interpret
+        # mode, so off-TPU the dropout-active path routes through
+        # attention_xla with the identical mask semantics (the dropout
+        # stream is distribution-equivalent, not bit-equal — on TPU the
+        # kernel draws from the on-chip hardware PRNG).  Keeps the
+        # shard_map+Pallas training configuration runnable on the virtual
+        # CPU mesh (tests, driver dryrun).
+        from vlp_tpu.ops import masks as mask_ops
+        if layout == "blhd":
+            qb, kb, vb = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        else:
+            qb, kb, vb = q, k, v
+        L = qb.shape[2]
+        vis_keep = colkeep[:, 1:prefix - 1]
+        bias = mask_ops.attention_bias(mode.astype(jnp.int32),
+                                       text_end.astype(jnp.int32),
+                                       vis_keep, prefix, L)
+        seed_scalar = (jnp.sum(dropout_seed.astype(jnp.int32))
+                       if dropout_seed is not None else 0)
+        out = attention_xla(qb, kb, vb, bias, dropout_rate=dropout_rate,
+                            dropout_rng=jax.random.PRNGKey(seed_scalar))
+        return out.transpose(0, 2, 1, 3) if layout == "blhd" else out
     if dropout_seed is None:
         dropout_seed = jnp.zeros((B,), jnp.int32)
     return _fused_attention((prefix, float(dropout_rate), layout == "blhd"),
