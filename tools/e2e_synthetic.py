@@ -10,6 +10,12 @@ captions), while an untrained model scores ~0.
 Usage: python tools/e2e_synthetic.py [--steps 300] [--clusters 8]
 Exits nonzero if trained CIDEr fails to beat the untrained baseline by a
 wide margin.
+
+``--scst_steps N`` adds a self-critical phase after the (deliberately
+partial) MLE phase: SCST must measurably raise greedy-decode CIDEr and the
+mean sampled-vs-greedy reward trend over N steps — the convergence proof
+for the SCST loop (rollouts -> native CIDEr reward -> forced-rollout policy
+gradient), mirroring run_img2txt_dist.py:486-523.
 """
 
 import argparse
@@ -29,6 +35,12 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--device_loop", type=int, default=10)
     ap.add_argument("--eval_images", type=int, default=32)
+    ap.add_argument("--scst_steps", type=int, default=0)
+    ap.add_argument("--scst_lr", type=float, default=1e-4,
+                    help="SCST-phase lr (the reference restarts SCST with a "
+                         "much smaller lr than MLE, README.md:96 — too "
+                         "high collapses the greedy policy while the "
+                         "relative reward still rises)")
     args = ap.parse_args()
 
     import jax
@@ -155,6 +167,64 @@ def main():
           f"{' '.join(cluster_caption[100000 % C])!r})", flush=True)
 
     ok = cider > max(1.0, base_cider + 1.0) and losses[-1] < losses[0]
+
+    # ---- SCST phase -------------------------------------------------------
+    if args.scst_steps:
+        from vlp_tpu.scst import SCSTTrainer
+        prefix = cfg.prefix_len
+        # SCST recipe: no masking (run_img2txt_dist.py asserts
+        # max_pred == 0 and mask_prob == 0 under --scst)
+        scst_builder = TrainExampleBuilder(cfg, vocab, mode="s2s",
+                                           mask_prob=0.0, max_pred=0)
+        scst_loader = TrainLoader(examples, store, [scst_builder], [1.0],
+                                  batch_size=args.batch, num_workers=2,
+                                  seed=2)
+        # fresh optimizer for the SCST phase: the MLE warmup_linear schedule
+        # is exhausted at its t_total, which would silently zero the lr
+        # (the reference likewise restarts training with SCST-specific lr,
+        # README.md:96)
+        tx_scst = ts.make_optimizer(cfg, state.params, lr=args.scst_lr,
+                                    warmup=0.1, t_total=args.scst_steps)
+        state = state._replace(opt_state=tx_scst.init(state.params),
+                               step=jnp.zeros((), jnp.int32))
+        trainer = SCSTTrainer(model, cfg, mask_id=vocab["[MASK]"],
+                              eos_id=vocab["[SEP]"], pad_id=vocab["[PAD]"],
+                              max_tgt_length=cfg.max_len_b, tx=tx_scst)
+        pre_cider = cider
+        rewards = []
+        done_s = 0
+        epoch_s = 0
+        t0 = time.time()
+        while done_s < args.scst_steps:
+            for batch in scst_loader.epoch(epoch_s):
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                B2, L2 = jb["input_ids"].shape
+                dec_b = dict(
+                    input_ids=jb["input_ids"][:, :prefix],
+                    segment_ids=jb["segment_ids"],
+                    position_ids=jnp.broadcast_to(
+                        jnp.arange(L2, dtype=jnp.int32), (B2, L2)),
+                    task_idx=jb["task_idx"],
+                    vis_feats=jb["vis_feats"], vis_pe=jb["vis_pe"])
+                gt = np.asarray(batch["input_ids"][
+                    :, prefix:prefix + cfg.max_len_b + 1])
+                state, loss, m = trainer.step(
+                    state, dec_b, gt,
+                    jax.random.fold_in(jax.random.PRNGKey(11), done_s))
+                rewards.append(m["mean_reward"])
+                done_s += 1
+                if done_s >= args.scst_steps:
+                    break
+            epoch_s += 1
+        post_cider, _ = score(state.params)
+        k = max(len(rewards) // 4, 1)
+        early, late = (sum(rewards[:k]) / k,
+                       sum(rewards[-k:]) / k)
+        print(f"SCST {done_s} steps in {time.time() - t0:.1f}s: CIDEr "
+              f"{pre_cider:.3f} -> {post_cider:.3f}; mean reward "
+              f"{early:+.3f} -> {late:+.3f}", flush=True)
+        ok = ok and post_cider > pre_cider + 0.25
+
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
