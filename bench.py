@@ -80,6 +80,9 @@ def _ensure_store(cfg):
 
 
 def _make_loader(cfg, store, batch_size, k_loop, n_examples=40000):
+    """TrainLoader wired exactly like cli/train.py's zero-copy device loop:
+    the recycled feature slabs are row views of [K, B, ...] stacked
+    transfer buffers.  Returns (loader, stack_feat, stack_pe)."""
     from vlp_tpu.data.dataset import CaptionExample
     from vlp_tpu.data.example_builder import TrainExampleBuilder
     from vlp_tpu.data.loader import TrainLoader
@@ -100,10 +103,18 @@ def _make_loader(cfg, store, batch_size, k_loop, n_examples=40000):
                 TrainExampleBuilder(cfg, vocab, mode="bi",
                                     max_pred=cfg.max_pred,
                                     new_segment_ids=True)]
-    slab_slots = 4 + 2 + k_loop + 1  # same sizing as cli/train.py
-    return TrainLoader(examples, store, builders, [0.75, 0.25],
-                       batch_size=batch_size, num_workers=4,
-                       feature_slab_slots=slab_slots)
+    feat0, pe0 = store.get(examples[0].feature_key)
+    n_stacks = max(3, 1 + -(-(k_loop + 4 + 2) // k_loop))
+    stack_feat = [np.empty((k_loop, batch_size) + feat0.shape, feat0.dtype)
+                  for _ in range(n_stacks)]
+    stack_pe = [np.empty((k_loop, batch_size) + pe0.shape, pe0.dtype)
+                for _ in range(n_stacks)]
+    slabs = [(stack_feat[s][k], stack_pe[s][k])
+             for s in range(n_stacks) for k in range(k_loop)]
+    loader = TrainLoader(examples, store, builders, [0.75, 0.25],
+                         batch_size=batch_size, num_workers=4,
+                         feature_slabs=slabs)
+    return loader, stack_feat, stack_pe
 
 
 def _bench_host_loader(loader, batch_size, min_seconds=15.0):
@@ -121,26 +132,32 @@ def _bench_host_loader(loader, batch_size, min_seconds=15.0):
     return n / (time.perf_counter() - t0)
 
 
-def _bench_sustained(loader, multi, state, ts, batch_size, k_loop,
+def _bench_sustained(loader, stacks, multi, state, ts, batch_size, k_loop,
                      min_seconds=60.0):
-    """Full pipeline: loader -> stack -> transfer -> K-step device loop,
-    pipelined one dispatch deep (cli/train.py device-loop pattern)."""
+    """Full pipeline: loader (features straight into the stacked transfer
+    buffers) -> token stack -> transfer -> K-step device loop, pipelined
+    one dispatch deep (cli/train.py device-loop pattern)."""
+    stack_feat, stack_pe = stacks
     stack_pool = [None, None]
     pending = []
     pending_ms = None
     dispatches = 0
+    grp = 0
     warmed = False
     it = loader.epoch(1)
-    for _ in range(loader.feature_slab_slots + 1):
-        next(it)  # slab warmup outside the timed window
     t0 = None
     for step_i, batch in enumerate(it):
         pending.append(batch)
         if len(pending) < k_loop:
             continue
-        slot = dispatches % 2
-        stack_pool[slot] = ts.stack_batches(pending, out=stack_pool[slot])
+        slot = grp % 2
+        stack_pool[slot] = ts.stack_batches(pending, out=stack_pool[slot],
+                                            skip=("vis_feats", "vis_pe"))
         stacked = {k: jnp.asarray(v) for k, v in stack_pool[slot].items()}
+        s = grp % len(stack_feat)
+        stacked["vis_feats"] = jnp.asarray(stack_feat[s])
+        stacked["vis_pe"] = jnp.asarray(stack_pe[s])
+        grp += 1
         pending = []
         state, ms = multi(state, stacked, ts.fast_prng_key(step_i), 0.0)
         if not warmed:
@@ -225,7 +242,7 @@ def main():
     try:
         K2 = 8 if on_tpu else 2  # smaller K: bounds per-dispatch transfer
         store = _ensure_store(cfg)
-        loader = _make_loader(cfg, store, B, K2)
+        loader, stack_feat, stack_pe = _make_loader(cfg, store, B, K2)
         out["host_loader_sps"] = round(
             _bench_host_loader(loader, B, 15.0 if on_tpu else 3.0), 1)
         out["h2d_mbps"] = round(_bench_h2d(8 << 20 if on_tpu else 64 << 20),
@@ -240,7 +257,8 @@ def main():
             state2, _ = ts.create_train_state(
                 model, cfg, jax.random.PRNGKey(1), lr=1e-4, warmup=0.1,
                 t_total=100000)
-            e2e, _ = _bench_sustained(loader, multi2, state2, ts, B, K2,
+            e2e, _ = _bench_sustained(loader, (stack_feat, stack_pe),
+                                      multi2, state2, ts, B, K2,
                                       60.0 if on_tpu else 5.0)
             out["sustained_e2e_sps"] = round(e2e, 1)
         else:

@@ -101,6 +101,42 @@ class TestTrainLoader:
             for k in want:
                 np.testing.assert_array_equal(got[k], want[k], err_msg=k)
 
+    def test_external_feature_slabs_match_fresh(self):
+        """feature_slabs = row views of [K, B, ...] stacked transfer
+        buffers (the zero-copy device loop): consuming in K-groups must
+        reproduce the fresh-allocation stream exactly, with each group's
+        features landing in the right stack rows."""
+        cfg = tiny_cfg()
+        K, S, B = 2, 3, 4
+        fresh = [{k: v.copy() for k, v in b.items()}
+                 for b in self.make(cfg, seed=7).epoch(2)]
+        st = store(cfg)
+        f0, p0 = st.get("img_0.npy")
+        stack_f = [np.empty((K, B) + f0.shape, f0.dtype) for _ in range(S)]
+        stack_p = [np.empty((K, B) + p0.shape, p0.dtype) for _ in range(S)]
+        slabs = [(stack_f[s][k], stack_p[s][k])
+                 for s in range(S) for k in range(K)]
+        loader = self.make(cfg, seed=7, feature_slabs=slabs, prefetch=2)
+        pending = []
+        got = 0
+        for b_i, batch in enumerate(loader.epoch(2)):
+            for k in batch:
+                if k not in ("vis_feats", "vis_pe"):
+                    np.testing.assert_array_equal(batch[k], fresh[b_i][k],
+                                                  err_msg=k)
+            pending.append(b_i)
+            if len(pending) < K:
+                continue
+            s = (b_i // K) % S
+            for row, fb in enumerate(pending):
+                np.testing.assert_array_equal(stack_f[s][row],
+                                              fresh[fb]["vis_feats"])
+                np.testing.assert_array_equal(stack_p[s][row],
+                                              fresh[fb]["vis_pe"])
+            pending = []
+            got += 1
+        assert got == len(fresh) // K
+
     def test_example_seeds_collision_free(self):
         """No two examples in (or across) epochs may share a masking RNG
         stream.  The old affine seed formula let (i, j) and (i±1, j∓31)

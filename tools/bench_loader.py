@@ -102,16 +102,33 @@ def main():
                          args.batch, num_workers=args.num_workers,
                          feature_slab_slots=args.slab_slots)
 
-    def run_epoch(ldr, epoch):
-        """Timed epoch after warm-up batches (slab pool first-touch)."""
-        warm = (ldr.feature_slab_slots or 0) + 1
+    def run_epoch(ldr, epoch, stack_k=0, token_only=False):
+        """Timed epoch after warm-up batches (slab pool first-touch).
+        ``stack_k`` > 0 adds the device-loop consumer's stacking step
+        (K batches -> one [K, B, ...] transfer-ready dict); ``token_only``
+        skips the feature keys (zero-copy wiring, where the loader already
+        wrote them into the stacked buffers)."""
+        from vlp_tpu.parallel.train_step import stack_batches
         it = ldr.epoch(epoch)
-        for _ in range(warm):
-            next(it)
+        if not stack_k:  # warmup irrelevant to group alignment
+            for _ in range((ldr.feature_slab_slots or 0) + 1):
+                next(it)
         t0 = time.perf_counter()
         n = 0
-        for _ in it:
+        pending = []
+        pool = [None, None]
+        g = 0
+        skip = ("vis_feats", "vis_pe") if token_only else ()
+        for b in it:
             n += args.batch
+            if not stack_k:
+                continue
+            pending.append(b)
+            if len(pending) == stack_k:
+                pool[g % 2] = stack_batches(pending, out=pool[g % 2],
+                                            skip=skip)
+                pending = []
+                g += 1
         return n / (time.perf_counter() - t0)
 
     if args.ab and args.slab_slots:
@@ -131,18 +148,44 @@ def main():
                     raise AttributeError(k)
                 return getattr(self._inner, k)
 
+        # retention contract: the stacking consumer holds K batches while
+        # drawing the K-th, so the internal pools need K + prefetch + 2
+        K = 8
+        slots = max(args.slab_slots, K + 4 + 2 + 1)
         slow = TrainLoader(examples, NoGather(store), builders, [0.75, 0.25],
                            args.batch, num_workers=args.num_workers,
-                           feature_slab_slots=args.slab_slots)
-        best = {"per_example": 0.0, "batched": 0.0}
+                           feature_slab_slots=slots)
+        loader = TrainLoader(examples, store, builders, [0.75, 0.25],
+                             args.batch, num_workers=args.num_workers,
+                             feature_slab_slots=slots)
+        # zero-copy variant: slabs are row views of [K, B, ...] stacked
+        # transfer buffers (the cli/train.py device-loop wiring) — measures
+        # the rate at which transfer-READY [K, B, ...] dicts are produced
+        f0, p0 = store.get(examples[0].feature_key)
+        S = max(3, 1 + -(-(K + 4 + 2) // K))
+        sf = [np.empty((K, args.batch) + f0.shape, f0.dtype)
+              for _ in range(S)]
+        sp = [np.empty((K, args.batch) + p0.shape, p0.dtype)
+              for _ in range(S)]
+        zc = TrainLoader(examples, store, builders, [0.75, 0.25],
+                         args.batch, num_workers=args.num_workers,
+                         feature_slabs=[(sf[s][k], sp[s][k])
+                                        for s in range(S) for k in range(K)])
+        best = {"per_example": 0.0, "batched": 0.0, "zero_copy": 0.0}
         for rep in range(args.reps):
             best["per_example"] = max(best["per_example"],
-                                      run_epoch(slow, rep))
-            best["batched"] = max(best["batched"], run_epoch(loader, rep))
+                                      run_epoch(slow, rep, stack_k=K))
+            best["batched"] = max(best["batched"],
+                                  run_epoch(loader, rep, stack_k=K))
+            best["zero_copy"] = max(best["zero_copy"],
+                                    run_epoch(zc, rep, stack_k=K,
+                                              token_only=True))
         print(f"A/B best-of-{args.reps}: per-example "
               f"{best['per_example']:.1f} vs batched-gather "
-              f"{best['batched']:.1f} samples/sec "
-              f"({best['batched'] / max(best['per_example'], 1e-9):.2f}x)")
+              f"{best['batched']:.1f} vs zero-copy-stack "
+              f"{best['zero_copy']:.1f} samples/sec "
+              f"({best['batched'] / max(best['per_example'], 1e-9):.2f}x / "
+              f"{best['zero_copy'] / max(best['per_example'], 1e-9):.2f}x)")
         return
 
     sps = run_epoch(loader, 0)

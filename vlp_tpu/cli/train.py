@@ -233,14 +233,36 @@ def main(argv=None):
                 TrainExampleBuilder(cfg, tokenizer.vocab, mode="bi",
                                     **builder_kw)]
     micro = args.train_batch_size // args.gradient_accumulation_steps
-    # recycle feature batch buffers: sized to cover the prefetch queue plus
-    # the device-loop's pending stack (which holds K batches before copying)
-    slab_slots = 4 + 2 + max(args.device_loop_steps, 1) + 1
-    loader = TrainLoader(
-        examples, store, builders, [args.s2s_prob, args.bi_prob],
+    K = max(args.device_loop_steps, 1)
+    loader_kw = dict(
         batch_size=args.train_batch_size, num_workers=args.num_workers,
         seed=args.seed, process_index=jax.process_index(),
-        process_count=jax.process_count(), feature_slab_slots=slab_slots)
+        process_count=jax.process_count())
+    stack_feat = stack_pe = None
+    if K > 1 and not args.scst:
+        # zero-copy device loop: the loader's recycled slabs ARE row views
+        # of the [K, B, ...] stacked transfer buffers, so each batch's
+        # region features (~90MB) land in their final host location and
+        # the slab->stack copy disappears.  n_stacks covers the producer's
+        # maximum lead over the in-flight dispatch (K pending + prefetch
+        # queue + one in-build) so a buffer is never written while its
+        # previous dispatch may still be transferring.
+        feat0, pe0 = store.get(examples[0].feature_key)
+        n_stacks = max(3, 1 + -(-(K + 4 + 2) // K))
+        B = args.train_batch_size
+        stack_feat = [np.empty((K, B) + feat0.shape, feat0.dtype)
+                      for _ in range(n_stacks)]
+        stack_pe = [np.empty((K, B) + pe0.shape, pe0.dtype)
+                    for _ in range(n_stacks)]
+        loader_kw["feature_slabs"] = [
+            (stack_feat[s][k], stack_pe[s][k])
+            for s in range(n_stacks) for k in range(K)]
+    else:
+        # recycle feature batch buffers: sized to cover the prefetch queue
+        # plus the device-loop's pending stack
+        loader_kw["feature_slab_slots"] = 4 + 2 + K + 1
+    loader = TrainLoader(examples, store, builders,
+                         [args.s2s_prob, args.bi_prob], **loader_kw)
     steps_per_epoch = len(loader)
     if args.steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
@@ -339,8 +361,7 @@ def main(argv=None):
         global_rng = ts.fast_prng_key(args.seed + 1)
         metrics_f = open(metrics_path, "a")
         profiling = False
-        K = max(args.device_loop_steps, 1)
-        stack_pool = [None, None]  # rotating host-side stacked-batch buffers
+        stack_pool = [None, None]  # rotating host-side token-stack buffers
         last_step_save = (start_epoch - 1) * steps_per_epoch + skip_batches
 
         def maybe_save_steps(i_epoch, step_i, state):
@@ -388,14 +409,21 @@ def main(argv=None):
                     pending.append(batch)
                     if len(pending) < K:
                         continue
-                    # recycled stacked buffer: safe to refill because the
-                    # dispatch-before-last (which read from this buffer) was
-                    # fully drained below, so its transfer has completed
-                    slot = (step_i // K) % 2
-                    stack_pool[slot] = ts.stack_batches(pending,
-                                                        out=stack_pool[slot])
+                    # recycled token-stack buffer: safe to refill because
+                    # the dispatch-before-last (which read from this buffer)
+                    # was fully drained below, so its transfer has completed
+                    grp = (step_i - skip) // K
+                    slot = grp % 2
+                    stack_pool[slot] = ts.stack_batches(
+                        pending, out=stack_pool[slot],
+                        skip=("vis_feats", "vis_pe"))
                     stacked = {k2: jnp.asarray(v)
                                for k2, v in stack_pool[slot].items()}
+                    # the feature halves were written by the loader straight
+                    # into these [K, B, ...] buffers (feature_slabs views)
+                    s = grp % len(stack_feat)
+                    stacked["vis_feats"] = jnp.asarray(stack_feat[s])
+                    stacked["vis_pe"] = jnp.asarray(stack_pe[s])
                     pending = []
                     rng = jax.random.fold_in(global_rng,
                                              i_epoch * 100000 + step_i)
@@ -444,6 +472,13 @@ def main(argv=None):
                     metrics_f.flush()
             if pending_ms is not None:
                 drain_ms(pending_ms)
+            if pending:
+                # drop an incomplete trailing K-group: the next epoch's
+                # producer restarts its slab rotation at 0 and would
+                # overwrite these rows before they could be dispatched
+                logger.info("dropping %d tail batches (< device_loop_steps)",
+                            len(pending))
+                pending = []
             if profiling:
                 jax.profiler.stop_trace()
                 profiling = False

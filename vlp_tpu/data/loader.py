@@ -12,7 +12,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Dict, Iterator, Sequence
+from typing import Callable, Dict, Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -46,7 +46,8 @@ class TrainLoader:
                  builder_probs: Sequence[float], batch_size: int, *,
                  num_workers: int = 4, prefetch: int = 4, seed: int = 42,
                  process_index: int = 0, process_count: int = 1,
-                 drop_last: bool = True, feature_slab_slots: int = 0):
+                 drop_last: bool = True, feature_slab_slots: int = 0,
+                 feature_slabs: Optional[Sequence] = None):
         """``feature_slab_slots`` > 0 recycles that many preallocated
         region-feature batch buffers instead of allocating ~190MB of fresh
         arrays per batch (first-touch page faults on fresh allocations can
@@ -55,6 +56,13 @@ class TrainLoader:
         ``vis_pe`` are only valid until ``feature_slab_slots - prefetch - 1``
         further batches have been drawn — consumers that retain batches
         (e.g. device-loop stacking) must size the pool accordingly or copy.
+
+        ``feature_slabs`` supplies the pool EXTERNALLY as a list of
+        ``(feat [B,nr,fd], pe [B,nr,pd])`` array pairs, cycled in batch
+        order — e.g. row views of the device-loop's ``[K, B, ...]`` stacked
+        transfer buffers, so features land in their final host location and
+        the ~90MB/batch slab->stack copy disappears.  Same validity
+        contract, with ``len(feature_slabs)`` slots.
         """
         assert abs(sum(builder_probs) - 1.0) < 1e-6
         self.examples = list(examples)
@@ -68,6 +76,11 @@ class TrainLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.drop_last = drop_last
+        self.feature_slabs = list(feature_slabs) if feature_slabs else None
+        if self.feature_slabs:
+            feature_slab_slots = len(self.feature_slabs)
+            for f, p in self.feature_slabs:
+                assert f.shape[0] == batch_size and p.shape[0] == batch_size
         self.feature_slab_slots = feature_slab_slots
         if feature_slab_slots:
             assert feature_slab_slots >= prefetch + 2, \
@@ -131,6 +144,8 @@ class TrainLoader:
         ``feature_slab_slots`` batches run at first-touch speed, everything
         after is warm — unlike fresh per-batch allocations, which pay the
         fault cost on EVERY batch)."""
+        if self.feature_slabs is not None:
+            return self.feature_slabs
         feat, pe = self.store.get(self.examples[0].feature_key)
         # slab dtype follows the store: a float16 packed store keeps halves
         # end-to-end (half the memory traffic on the bandwidth-bound host,
@@ -174,7 +189,11 @@ class TrainLoader:
                     chunk = idx[lo:lo + self.batch_size]
                     pairs = [(j, int(i), self._example_seed(epoch, lo + j))
                              for j, i in enumerate(chunk)]
-                    fs, ps = slabs[b % len(slabs)] if slabs else (None, None)
+                    # rotation is start-relative so a mid-epoch resume keeps
+                    # batch->slab alignment for consumers that map slabs onto
+                    # K-grouped transfer buffers (cli/train.py device loop)
+                    fs, ps = (slabs[(b - start_batch) % len(slabs)]
+                              if slabs else (None, None))
                     if batched_gather:
                         # whole-batch feature fetch in ONE native call
                         # (threaded C++, GIL released) instead of

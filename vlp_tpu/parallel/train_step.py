@@ -194,21 +194,27 @@ def make_multi_step(model: VLPModel, tx: optax.GradientTransformation, *,
     return multi_step
 
 
-def stack_batches(batches, out=None):
+def stack_batches(batches, out=None, skip=()):
     """[{k: [B,...]}] * K -> {k: [K, B, ...]} for make_multi_step.
 
     ``out`` recycles a previous result's buffers (shapes/dtypes must match):
     a fresh K-batch stack is ~K x 190MB of new pages per dispatch, and
     first-touch page faults on that cost more than the copy itself on busy
     hosts (same trick as TrainLoader.feature_slab_slots).
+
+    ``skip`` names keys to leave out entirely — the zero-copy device-loop
+    path feeds the loader row views of the [K, B, ...] transfer buffers
+    (TrainLoader feature_slabs), so the feature keys are already stacked
+    in place and copying them here would be pure waste.
     """
     import numpy as np
+    keys = [k for k in batches[0] if k not in skip]
     if out is None:
-        return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
-    for k in batches[0]:
+        return {k: np.stack([b[k] for b in batches]) for k in keys}
+    for k in keys:
         dst = out[k]
         assert dst.shape == (len(batches),) + batches[0][k].shape
         assert dst.dtype == np.asarray(batches[0][k]).dtype, k
         for j, b in enumerate(batches):
             dst[j] = b[k]
-    return out
+    return {k: out[k] for k in keys}
