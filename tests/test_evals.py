@@ -246,6 +246,27 @@ class TestPTBTokenizer:
         assert ptb_tokens("the u.s. flag") == ["the", "u.s.", "flag"]
         assert "3.5" in ptb_tokens("a 3.5 inch screen")
 
+    def test_matches_nltk_on_generated_captions(self):
+        """Template-generated caption corpus (200 sentences) vs nltk."""
+        import random
+        nltk = pytest.importorskip("nltk.tokenize")
+        from vlp_tpu.evals.ptbtok import ptb_tokens
+        tok = nltk.TreebankWordTokenizer()
+        r = random.Random(4)
+        subj = ["A man", "Two dogs", "The cyclist", "A small child",
+                "An old woman", "The dog's owner", "Several people"]
+        verb = ["rides", "is riding", "doesn't like", "holds", "can't see",
+                "watches", "isn't using"]
+        obj = ["a horse", "the red frisbee", "two well-worn skis",
+               "an umbrella", "a half-eaten sandwich", "the No. 7 bus"]
+        tail = ["in the park.", "near a busy street!", "at 3.30 p.m.",
+                "-- quickly.", "on a sunny day?", "(outdoors).",
+                "; it looks fun.", "with \"style\"."]
+        for _ in range(200):
+            s = " ".join([r.choice(subj), r.choice(verb), r.choice(obj),
+                          r.choice(tail)])
+            assert ptb_tokens(s) == tok.tokenize(s), s
+
 
 class TestSpice:
     def _g(self, s):
