@@ -103,14 +103,9 @@ def _make_loader(cfg, store, batch_size, k_loop, n_examples=40000):
                 TrainExampleBuilder(cfg, vocab, mode="bi",
                                     max_pred=cfg.max_pred,
                                     new_segment_ids=True)]
-    feat0, pe0 = store.get(examples[0].feature_key)
-    n_stacks = max(3, 1 + -(-(k_loop + 4 + 2) // k_loop))
-    stack_feat = [np.empty((k_loop, batch_size) + feat0.shape, feat0.dtype)
-                  for _ in range(n_stacks)]
-    stack_pe = [np.empty((k_loop, batch_size) + pe0.shape, pe0.dtype)
-                for _ in range(n_stacks)]
-    slabs = [(stack_feat[s][k], stack_pe[s][k])
-             for s in range(n_stacks) for k in range(k_loop)]
+    from vlp_tpu.data.loader import stacked_feature_slabs
+    stack_feat, stack_pe, slabs = stacked_feature_slabs(
+        store, examples[0].feature_key, k_loop, batch_size)
     loader = TrainLoader(examples, store, builders, [0.75, 0.25],
                          batch_size=batch_size, num_workers=4,
                          feature_slabs=slabs)

@@ -216,6 +216,9 @@ class TestPTBTokenizer:
             "a well-known double-decker bus"
         assert ptb_tokenize("It costs $3.50, really!") == \
             "it costs $ 3.50 really"
+        # brackets drop like the jar's -LRB-/-RRB- tokens do
+        assert ptb_tokenize("a dog (brown) on grass.") == \
+            "a dog brown on grass"
 
     def test_matches_nltk_treebank(self):
         """Cross-validate the in-repo PTB port against nltk's

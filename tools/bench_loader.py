@@ -161,16 +161,12 @@ def main():
         # zero-copy variant: slabs are row views of [K, B, ...] stacked
         # transfer buffers (the cli/train.py device-loop wiring) — measures
         # the rate at which transfer-READY [K, B, ...] dicts are produced
-        f0, p0 = store.get(examples[0].feature_key)
-        S = max(3, 1 + -(-(K + 4 + 2) // K))
-        sf = [np.empty((K, args.batch) + f0.shape, f0.dtype)
-              for _ in range(S)]
-        sp = [np.empty((K, args.batch) + p0.shape, p0.dtype)
-              for _ in range(S)]
+        from vlp_tpu.data.loader import stacked_feature_slabs
+        _, _, slabs = stacked_feature_slabs(
+            store, examples[0].feature_key, K, args.batch)
         zc = TrainLoader(examples, store, builders, [0.75, 0.25],
                          args.batch, num_workers=args.num_workers,
-                         feature_slabs=[(sf[s][k], sp[s][k])
-                                        for s in range(S) for k in range(K)])
+                         feature_slabs=slabs)
         best = {"per_example": 0.0, "batched": 0.0, "zero_copy": 0.0}
         for rep in range(args.reps):
             best["per_example"] = max(best["per_example"],

@@ -243,20 +243,12 @@ def main(argv=None):
         # zero-copy device loop: the loader's recycled slabs ARE row views
         # of the [K, B, ...] stacked transfer buffers, so each batch's
         # region features (~90MB) land in their final host location and
-        # the slab->stack copy disappears.  n_stacks covers the producer's
-        # maximum lead over the in-flight dispatch (K pending + prefetch
-        # queue + one in-build) so a buffer is never written while its
-        # previous dispatch may still be transferring.
-        feat0, pe0 = store.get(examples[0].feature_key)
-        n_stacks = max(3, 1 + -(-(K + 4 + 2) // K))
-        B = args.train_batch_size
-        stack_feat = [np.empty((K, B) + feat0.shape, feat0.dtype)
-                      for _ in range(n_stacks)]
-        stack_pe = [np.empty((K, B) + pe0.shape, pe0.dtype)
-                    for _ in range(n_stacks)]
-        loader_kw["feature_slabs"] = [
-            (stack_feat[s][k], stack_pe[s][k])
-            for s in range(n_stacks) for k in range(K)]
+        # the slab->stack copy disappears (see loader.stacked_feature_slabs
+        # for the buffer-count safety margin).
+        from vlp_tpu.data.loader import stacked_feature_slabs
+        stack_feat, stack_pe, loader_kw["feature_slabs"] = \
+            stacked_feature_slabs(store, examples[0].feature_key, K,
+                                  args.train_batch_size)
     else:
         # recycle feature batch buffers: sized to cover the prefetch queue
         # plus the device-loop's pending stack

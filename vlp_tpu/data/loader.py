@@ -238,6 +238,36 @@ class TrainLoader:
                 yield batch
         finally:
             stop.set()
+            # join: an abandoned epoch's producer may still be finishing a
+            # batch that writes into the (possibly externally shared) slab
+            # buffers; returning before it exits would let the next epoch's
+            # producer — or an in-flight device transfer — race that write.
+            # Bounded: stoppable puts + a single in-progress batch build.
+            t.join()
+
+
+def stacked_feature_slabs(store, example_key: str, k_loop: int,
+                          batch_size: int, *, prefetch: int = 4):
+    """Allocate the zero-copy device-loop buffers: ``n_stacks`` stacked
+    ``[K, B, ...]`` feature/pe arrays plus the row-view slab list to pass
+    as ``TrainLoader(feature_slabs=...)``.
+
+    ``n_stacks`` covers the producer's maximum lead over the in-flight
+    dispatch — K pending batches + the prefetch queue + one in-build —
+    so a stacked buffer is never written while its previous dispatch may
+    still be transferring.  This is THE one place that encodes that
+    safety margin (cli/train.py, bench.py and tools/bench_loader.py all
+    build their pools here).  Returns (stack_feat, stack_pe, slabs).
+    """
+    feat0, pe0 = store.get(example_key)
+    n_stacks = max(3, 1 + -(-(k_loop + prefetch + 2) // k_loop))
+    stack_feat = [np.empty((k_loop, batch_size) + feat0.shape, feat0.dtype)
+                  for _ in range(n_stacks)]
+    stack_pe = [np.empty((k_loop, batch_size) + pe0.shape, pe0.dtype)
+                for _ in range(n_stacks)]
+    slabs = [(stack_feat[s][k], stack_pe[s][k])
+             for s in range(n_stacks) for k in range(k_loop)]
+    return stack_feat, stack_pe, slabs
 
 
 class EvalLoader:
@@ -350,4 +380,5 @@ class EvalLoader:
                 yield item
         finally:
             stop.set()
+            t.join()  # see TrainLoader.epoch: slab writes must quiesce
             pool.shutdown(wait=False)

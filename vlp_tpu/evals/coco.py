@@ -65,15 +65,12 @@ def language_eval(ann_file: str, preds: List[dict], model_id: str,
         out["CIDEr"] = cider
         rouge, rouge_img = compute_rouge(gts, res)
         out["ROUGE_L"] = rouge
-        from vlp_tpu.evals.meteor import (compute_meteor, meteor_bounds,
-                                          wordnet_synonyms)
+        from vlp_tpu.evals.meteor import meteor_bounds, wordnet_synonyms
         syn = wordnet_synonyms()  # synonym stage when WordNet is installed
-        meteor, _ = compute_meteor(gts, res, syn)
-        out["METEOR"] = meteor
-        # upper bound of the Java implementation's score given the stages
-        # that cannot run here (see evals/meteor.py docstring) — the
-        # METEOR..METEOR_ub interval quantifies the residual delta
-        out["METEOR_ub"] = meteor_bounds(gts, res, syn)[1]
+        # lower bound = the native score; upper bound quantifies the
+        # stages that cannot run here (see evals/meteor.py docstring) —
+        # one call computes both (the alignment is the dominant cost)
+        out["METEOR"], out["METEOR_ub"] = meteor_bounds(gts, res, syn)
         # SPICE: exact published scoring over an approximate (rule-based)
         # scene-graph parse — consistent across compared models; plug an
         # external parser via evals/spice.compute_spice for Java parity

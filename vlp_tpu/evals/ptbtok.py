@@ -74,10 +74,15 @@ _CONTRACTIONS3 = [
 ]
 
 # coco-caption ptbtokenizer.py PUNCTUATIONS — removed as exact TOKENS after
-# tokenization (so "u.s." keeps its dots but a sentence-final "." drops)
+# tokenization (so "u.s." keeps its dots but a sentence-final "." drops).
+# CoreNLP's DEFAULT ptb3Escaping (which the jar runs with) renders brackets
+# as -LRB-/-RRB-/-LCB-/-RCB- before that filter drops them; this port emits
+# literal bracket characters, so the literals are filtered too — same
+# observable normalisation.
 PUNCTUATIONS = frozenset([
     "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
     ".", "?", "!", ",", ":", "-", "--", "...", ";",
+    "(", ")", "[", "]", "{", "}",
 ])
 
 
