@@ -78,6 +78,37 @@ class TestTrainCLI:
         assert seen["schedule"] == "warmup_cosine"
         assert seen["lr"] == pytest.approx(5e-4)
 
+    def test_finetune_decay_survives_resume(self, fixtures, monkeypatch):
+        """A resumed --finetune_decay run must rebuild the anchored
+        optimizer (it used to silently fall back to plain BertAdam on
+        epoch-checkpoint recovery)."""
+        from vlp_tpu import optim as optim_lib
+        base_out = os.path.join(fixtures["dir"], "out_ft_base")
+        train_cli.main(base_train_args(
+            fixtures, base_out, ["--num_train_epochs", "1"]))
+        anchor_path = os.path.join(base_out, "model.1")
+
+        calls = []
+        real = optim_lib.bert_adam_finetune
+
+        def spy(*a, **kw):
+            calls.append(kw)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(optim_lib, "bert_adam_finetune", spy)
+        out = os.path.join(fixtures["dir"], "out_ft")
+        ft_args = ["--num_train_epochs", "1", "--finetune_decay",
+                   "--model_recover_path", anchor_path]
+        train_cli.main(base_train_args(fixtures, out, ft_args))
+        assert len(calls) == 1  # fresh run: anchored tx built once
+        # resume epoch 2: the anchored tx must be rebuilt, not dropped
+        train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "2", "--finetune_decay",
+                            "--model_recover_path", anchor_path]))
+        assert len(calls) == 2
+        log = open(os.path.join(out, "training.log")).read()
+        assert "Recover model: 1" in log
+
     def test_step_checkpoint_midepoch_resume(self, fixtures):
         """--save_steps writes model.sN mid-epoch; after a crash the run
         resumes INSIDE the epoch (the reference can only restart at epoch

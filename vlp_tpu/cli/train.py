@@ -327,6 +327,24 @@ def main(argv=None):
                 schedule=args.sche_mode, weight_decay=args.weight_decay)
             state = state._replace(opt_state=tx.init(state.params))
 
+    if args.finetune_decay and (recover_gstep or recover_step):
+        # resumed --finetune_decay run: rebuild the anchored optimizer
+        # (the plain-BertAdam tx from create_train_state would silently
+        # change the decay semantics mid-run).  Anchors are the ORIGINAL
+        # pretrained weights — reload them from --model_recover_path; the
+        # restored m/v/step stay valid (same BertAdamState structure).
+        assert args.model_recover_path, \
+            "--finetune_decay resume needs --model_recover_path (the " \
+            "anchor weights) on the command line, as in the original run"
+        anchor = ckpt.load_model_checkpoint(
+            args.model_recover_path, cfg, state.params,
+            3 if args.tasks == "img2txt" else 0)
+        tx = optim_lib.bert_adam_finetune(
+            args.learning_rate, init_params=anchor,
+            missing_key_substrings=("vis_fc", "vis_pe_fc", "ans_fc"),
+            warmup=args.warmup_proportion, t_total=t_total,
+            schedule=args.sche_mode, weight_decay=args.weight_decay)
+
     # ---- training --------------------------------------------------------
     scst_trainer = None
     if args.scst:
