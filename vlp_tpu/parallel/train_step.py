@@ -211,10 +211,11 @@ def stack_batches(batches, out=None, skip=()):
     keys = [k for k in batches[0] if k not in skip]
     if out is None:
         return {k: np.stack([b[k] for b in batches]) for k in keys}
+    assert set(out) == set(keys), (sorted(out), sorted(keys))
     for k in keys:
         dst = out[k]
         assert dst.shape == (len(batches),) + batches[0][k].shape
         assert dst.dtype == np.asarray(batches[0][k]).dtype, k
         for j, b in enumerate(batches):
             dst[j] = b[k]
-    return {k: out[k] for k in keys}
+    return out
