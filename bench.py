@@ -18,8 +18,9 @@ Two measurements:
    attention, bf16 activations, BertAdam — jitted end to end, K steps
    scanned per dispatch, batches already in HBM.
 
-2. The REAL training path (extras): TrainLoader (packed fp16 native
-   feature store, batched C++ gather, recycled slabs) -> stack_batches ->
+2. The REAL training path (extras): TrainLoader (packed fp16 v3 native
+   feature store — vis_pe precomputed at pack time, so the batched C++
+   gather is pure memcpy — recycled slabs) -> stack_batches ->
    the same jitted multi-step, pipelined exactly like cli/train.py's
    device loop (deferred metric fetch).
    * ``host_loader_sps`` — the loader alone sustained >=15s: the rate at
@@ -49,12 +50,13 @@ BASELINE_SAMPLES_PER_SEC_PER_GPU = 3.0e6 / (5 * 3600) / 8  # 20.83
 
 STORE_KEYS = 256
 STORE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".cache", "bench_feat_fp16.vlps")
+                           ".cache", "bench_feat_fp16_pe.vlps")
 
 
 def _ensure_store(cfg):
-    """Packed fp16 feature store with synthetic records (built once,
-    reused across rounds)."""
+    """Packed fp16 v3 feature store (vis_pe precomputed at pack time — the
+    production-recommended format; the per-epoch gather is pure memcpy)
+    with synthetic records, built once and reused across rounds."""
     from vlp_tpu.data.native_store import PackedFeatureStore, pack_store
     if not os.path.exists(STORE_CACHE):
         os.makedirs(os.path.dirname(STORE_CACHE), exist_ok=True)
@@ -75,7 +77,8 @@ def _ensure_store(cfg):
 
         pack_store(STORE_CACHE, [f"img_{i}" for i in range(STORE_KEYS)], rec,
                    n_regions=cfg.len_vis_input, feat_dim=cfg.vis_feat_dim,
-                   cls_dim=cfg.vis_cls_dim, dtype=np.float16)
+                   cls_dim=cfg.vis_cls_dim, dtype=np.float16,
+                   precompute_pe=True)
     return PackedFeatureStore(STORE_CACHE)
 
 

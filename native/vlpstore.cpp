@@ -24,13 +24,23 @@
 // roughly doubles loader throughput and host→device transfer rate.
 // Featurization math (layer norms) always runs in fp32 internally.
 //
+// Version 3 stores the featurization PRECOMPUTED: records are
+//   { feat[n_regions*feat_dim], vis_pe[n_regions*(6+cls_dim)] }
+// (bbox_dim is 0; cls/bbox raw arrays are not retained).  The geometry
+// featurization is deterministic per record, so recomputing the layer
+// norms every epoch in the gather hot path is pure waste — a v3 gather is
+// two dtype-converting memcpys.  The featurize entry points below serve
+// all three versions transparently.
+//
 // Exposed C ABI (consumed from Python via ctypes):
+//   vlps_abi        — ABI level (stale-.so probe for the Python binding)
 //   vlps_open / vlps_close / vlps_meta / vlps_find
-//   vlps_get        — copy one record's raw arrays (fp32 out, converts)
+//   vlps_get        — copy one record's raw arrays (fp32 out, converts);
+//     v3 files fail it when cls/bbox are requested (not stored)
 //   vlps_batch_get  — threaded gather of many records (fp32 out)
 //   vlps_batch_featurize   — gather + geometry featurization fused in C++
 //     (bbox+cls -> 1607-dim vis_pe exactly as seq2seq_loader.py:338-351),
-//     fp32 outputs
+//     fp32 outputs; for v3 files a pure copy of the stored vis_pe
 //   vlps_batch_featurize16 — same, float16 outputs (feat is a straight
 //     memcpy when the store is float16)
 
@@ -260,19 +270,25 @@ void featurize_record(const Store* s, const uint8_t* rec, uint8_t* pe_out,
   }
 }
 
-// feat copy with dtype conversion as needed
-void copy_feat(const Store* s, const uint8_t* rec, uint8_t* out,
+// span copy with dtype conversion as needed (store dtype -> out dtype)
+void copy_span(const Store* s, const uint8_t* src, uint8_t* out, size_t n,
                bool out_half) {
-  const size_t nf = static_cast<size_t>(s->hdr.n_regions) * s->hdr.feat_dim;
   const bool in_half = s->elem == 2;
   if (in_half == out_half)
-    std::memcpy(out, rec, nf * s->elem);
+    std::memcpy(out, src, n * s->elem);
   else if (out_half)
-    float_to_half(reinterpret_cast<const float*>(rec),
-                  reinterpret_cast<uint16_t*>(out), nf);
+    float_to_half(reinterpret_cast<const float*>(src),
+                  reinterpret_cast<uint16_t*>(out), n);
   else
-    half_to_float(reinterpret_cast<const uint16_t*>(rec),
-                  reinterpret_cast<float*>(out), nf);
+    half_to_float(reinterpret_cast<const uint16_t*>(src),
+                  reinterpret_cast<float*>(out), n);
+}
+
+void copy_feat(const Store* s, const uint8_t* rec, uint8_t* out,
+               bool out_half) {
+  copy_span(s, rec, out,
+            static_cast<size_t>(s->hdr.n_regions) * s->hdr.feat_dim,
+            out_half);
 }
 
 void parallel_for(int n, int n_threads, const std::function<void(int)>& fn) {
@@ -304,6 +320,7 @@ int batch_featurize_impl(void* handle, const int64_t* indices, int n,
   const size_t pe_n = static_cast<size_t>(s->hdr.n_regions) *
                       (6 + s->hdr.cls_dim);
   const size_t out_elem = out_half ? 2 : 4;
+  const bool precomputed = s->hdr.version == 3;
   std::atomic<int> bad{0};
   parallel_for(n, n_threads, [&](int j) {
     const int64_t i = indices[j];
@@ -313,7 +330,11 @@ int batch_featurize_impl(void* handle, const int64_t* indices, int n,
     }
     const uint8_t* r = record_ptr(s, i);
     if (feat) copy_feat(s, r, feat + j * nf * out_elem, out_half);
-    featurize_record(s, r, vis_pe + j * pe_n * out_elem, out_half);
+    if (precomputed)
+      copy_span(s, r + nf * s->elem, vis_pe + j * pe_n * out_elem, pe_n,
+                out_half);
+    else
+      featurize_record(s, r, vis_pe + j * pe_n * out_elem, out_half);
   });
   return bad.load() ? -1 : 0;
 }
@@ -321,6 +342,10 @@ int batch_featurize_impl(void* handle, const int64_t* indices, int n,
 }  // namespace
 
 extern "C" {
+
+// ABI level: the Python binding probes this to detect a stale prebuilt .so
+// (3 = v3 precomputed-featurization files supported).
+int vlps_abi(void) { return 3; }
 
 void* vlps_open(const char* path) {
   int fd = ::open(path, O_RDONLY);
@@ -341,7 +366,7 @@ void* vlps_open(const char* path) {
   s->size = st.st_size;
   std::memcpy(&s->hdr, s->base, sizeof(Header));
   const bool ok = std::memcmp(s->hdr.magic, "VLPS", 4) == 0 &&
-                  (s->hdr.version == 1 || s->hdr.version == 2) &&
+                  s->hdr.version >= 1 && s->hdr.version <= 3 &&
                   s->hdr.dtype <= 1;
   if (!ok) {
     munmap(base, st.st_size);
@@ -354,8 +379,12 @@ void* vlps_open(const char* path) {
   const size_t index_bytes =
       static_cast<size_t>(s->hdr.n_records) * s->hdr.key_len;
   s->records = s->base + sizeof(Header) + index_bytes;
-  s->record_bytes = s->elem * s->hdr.n_regions *
-                    (s->hdr.feat_dim + s->hdr.cls_dim + s->hdr.bbox_dim);
+  // v1/v2 records: {feat, cls, bbox}; v3: {feat, vis_pe[6+cls_dim]}
+  s->record_bytes =
+      s->elem * s->hdr.n_regions *
+      (s->hdr.version == 3
+           ? s->hdr.feat_dim + 6 + s->hdr.cls_dim
+           : s->hdr.feat_dim + s->hdr.cls_dim + s->hdr.bbox_dim);
   s->index.reserve(s->hdr.n_records * 2);
   for (uint64_t i = 0; i < s->hdr.n_records; ++i) {
     const char* k = s->keys + i * s->hdr.key_len;
@@ -391,10 +420,12 @@ int64_t vlps_find(void* handle, const char* key) {
   return it == s->index.end() ? -1 : static_cast<int64_t>(it->second);
 }
 
-// fp32 outputs regardless of store dtype (converts from fp16 when needed)
+// fp32 outputs regardless of store dtype (converts from fp16 when needed).
+// v3 files do not retain cls/bbox: requesting them returns -2.
 int vlps_get(void* handle, const char* key, float* feat, float* cls,
              float* bbox) {
   auto* s = static_cast<Store*>(handle);
+  if (s->hdr.version == 3 && (cls || bbox)) return -2;
   const int64_t i = vlps_find(handle, key);
   if (i < 0) return -1;
   const uint8_t* r = record_ptr(s, i);
@@ -408,9 +439,11 @@ int vlps_get(void* handle, const char* key, float* feat, float* cls,
 }
 
 // indices: int64[n]; feat out: [n, n_regions*feat_dim] contiguous (etc.)
+// v3 files do not retain cls/bbox: requesting them returns -2.
 int vlps_batch_get(void* handle, const int64_t* indices, int n, float* feat,
                    float* cls, float* bbox, int n_threads) {
   auto* s = static_cast<Store*>(handle);
+  if (s->hdr.version == 3 && (cls || bbox)) return -2;
   const size_t nf = static_cast<size_t>(s->hdr.n_regions) * s->hdr.feat_dim;
   const size_t nc = static_cast<size_t>(s->hdr.n_regions) * s->hdr.cls_dim;
   const size_t nb = static_cast<size_t>(s->hdr.n_regions) * s->hdr.bbox_dim;

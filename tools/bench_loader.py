@@ -36,6 +36,11 @@ def main():
                     help="interleaved A/B: per-example get_into vs one-call "
                          "batched gather_into (needs --packed + "
                          "--slab_slots)")
+    ap.add_argument("--ab_format", action="store_true",
+                    help="interleaved A/B: v2 (featurize at gather time) vs "
+                         "v3 (vis_pe precomputed at pack time) on the "
+                         "zero-copy path; packs {--packed}.v2/.v3 in "
+                         "--pack_dtype")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -55,35 +60,36 @@ def main():
                        [words[rng.integers(0, 1000)] for _ in range(12)],
                        image_id=i)
         for i in range(n_examples)]
-    if args.packed:
+    def synth_rec(key):
+        """Deterministic per-key synthetic record (so two packs of the same
+        key set hold identical data)."""
+        i = int(key.rsplit("_", 1)[-1])
+        srng = np.random.default_rng(1_000_000 + i)
+        feat = srng.normal(size=(cfg.len_vis_input,
+                                 cfg.vis_feat_dim)).astype(np.float32)
+        cls = srng.uniform(size=(cfg.len_vis_input,
+                                 cfg.vis_cls_dim)).astype(np.float32)
+        bbox = np.zeros((cfg.len_vis_input, 6), np.float32)
+        xy = srng.uniform(0, 600, (cfg.len_vis_input, 2))
+        wh = srng.uniform(10, 200, (cfg.len_vis_input, 2))
+        bbox[:, :2] = xy
+        bbox[:, 2:4] = xy + wh
+        bbox[:, 5] = srng.uniform(0.2, 1.0, cfg.len_vis_input)
+        return feat, cls, bbox
+
+    if args.packed and not args.ab_format:
         from vlp_tpu.data.native_store import PackedFeatureStore, pack_store
         if args.pack_dtype and not os.path.exists(args.packed):
-            syn = make_store(synthetic=True, num_regions=cfg.len_vis_input,
-                             feat_dim=cfg.vis_feat_dim,
-                             cls_dim=cfg.vis_cls_dim)
-            srng = np.random.default_rng(1)
-
-            def rec(_k):
-                feat = srng.normal(size=(cfg.len_vis_input,
-                                         cfg.vis_feat_dim)).astype(np.float32)
-                cls = srng.uniform(size=(cfg.len_vis_input,
-                                         cfg.vis_cls_dim)).astype(np.float32)
-                bbox = np.zeros((cfg.len_vis_input, 6), np.float32)
-                xy = srng.uniform(0, 600, (cfg.len_vis_input, 2))
-                wh = srng.uniform(10, 200, (cfg.len_vis_input, 2))
-                bbox[:, :2] = xy
-                bbox[:, 2:4] = xy + wh
-                bbox[:, 5] = srng.uniform(0.2, 1.0, cfg.len_vis_input)
-                return feat, cls, bbox
-
             print(f"packing {n_keys} records ({args.pack_dtype}) "
                   f"-> {args.packed}")
-            pack_store(args.packed, [f"img_{i}" for i in range(n_keys)], rec,
-                       n_regions=cfg.len_vis_input,
+            pack_store(args.packed, [f"img_{i}" for i in range(n_keys)],
+                       synth_rec, n_regions=cfg.len_vis_input,
                        feat_dim=cfg.vis_feat_dim, cls_dim=cfg.vis_cls_dim,
                        dtype=np.dtype(args.pack_dtype))
         store = PackedFeatureStore(args.packed)
         print(f"packed store dtype: {store.dtype}")
+    elif args.ab_format:
+        store = None
     else:
         store = make_store(synthetic=True, num_regions=cfg.len_vis_input,
                            feat_dim=cfg.vis_feat_dim,
@@ -98,9 +104,10 @@ def main():
         TrainExampleBuilder(cfg, vocab, mode="bi", mask_prob=0.15,
                             max_pred=cfg.max_pred, new_segment_ids=True),
     ]
-    loader = TrainLoader(examples, store, builders, [0.75, 0.25],
-                         args.batch, num_workers=args.num_workers,
-                         feature_slab_slots=args.slab_slots)
+    if store is not None:
+        loader = TrainLoader(examples, store, builders, [0.75, 0.25],
+                             args.batch, num_workers=args.num_workers,
+                             feature_slab_slots=args.slab_slots)
 
     def run_epoch(ldr, epoch, stack_k=0, token_only=False):
         """Timed epoch after warm-up batches (slab pool first-touch).
@@ -130,6 +137,52 @@ def main():
                 pending = []
                 g += 1
         return n / (time.perf_counter() - t0)
+
+    if args.ab_format:
+        # v2 (featurize per gather) vs v3 (precomputed pe) on the zero-copy
+        # device-loop wiring, interleaved in one process (best-of-reps:
+        # the dev box carries bursty external load)
+        from vlp_tpu.data.native_store import PackedFeatureStore, pack_store
+        from vlp_tpu.data.loader import stacked_feature_slabs
+        if not args.packed:
+            args.packed = os.path.join(os.path.dirname(__file__), "..",
+                                       ".cache", "ab_format.vlps")
+            os.makedirs(os.path.dirname(args.packed), exist_ok=True)
+        dtype = np.dtype(args.pack_dtype or "float16")
+        keys = [f"img_{i}" for i in range(n_keys)]
+        paths = {}
+        for tag, pre in (("v2", False), ("v3", True)):
+            p = f"{args.packed}.{dtype.name}.{tag}"
+            if not os.path.exists(p):
+                print(f"packing {n_keys} records ({dtype.name}, {tag}) "
+                      f"-> {p}")
+                pack_store(p, keys, synth_rec,
+                           n_regions=cfg.len_vis_input,
+                           feat_dim=cfg.vis_feat_dim,
+                           cls_dim=cfg.vis_cls_dim, dtype=dtype,
+                           precompute_pe=pre)
+            paths[tag] = p
+        K = 8
+        best = {"v2": 0.0, "v3": 0.0}
+        loaders = {}
+        for tag, p in paths.items():
+            st = PackedFeatureStore(p)
+            _, _, slabs = stacked_feature_slabs(
+                st, examples[0].feature_key, K, args.batch)
+            loaders[tag] = TrainLoader(examples, st, builders, [0.75, 0.25],
+                                       args.batch,
+                                       num_workers=args.num_workers,
+                                       feature_slabs=slabs)
+        for rep in range(args.reps):
+            for tag, ldr in loaders.items():
+                best[tag] = max(best[tag],
+                                run_epoch(ldr, rep, stack_k=K,
+                                          token_only=True))
+        print(f"format A/B best-of-{args.reps} (zero-copy, {dtype.name}): "
+              f"v2 featurize-at-gather {best['v2']:.1f} vs "
+              f"v3 precomputed-pe {best['v3']:.1f} samples/sec "
+              f"({best['v3'] / max(best['v2'], 1e-9):.2f}x)")
+        return
 
     if args.ab and args.slab_slots:
         # A/B: per-example get_into vs one-call batched gather_into,

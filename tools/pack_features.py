@@ -33,6 +33,10 @@ def main():
                     help="text file with one image id / feature path per line")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float16"])
+    ap.add_argument("--precompute_pe", action="store_true",
+                    help="store vis_pe featurized (v3): the per-epoch "
+                         "gather becomes pure memcpy — fastest host "
+                         "pipeline; raw cls/bbox are not retained")
     ap.add_argument("--n_regions", type=int, default=100)
     ap.add_argument("--feat_dim", type=int, default=2048)
     ap.add_argument("--cls_dim", type=int, default=1601)
@@ -42,11 +46,14 @@ def main():
 
     with open(args.keys) as f:
         keys = [ln.strip() for ln in f if ln.strip()]
-    print(f"packing {len(keys)} records ({args.dtype}) -> {args.out}")
+    print(f"packing {len(keys)} records ({args.dtype}"
+          f"{', precomputed pe' if args.precompute_pe else ''}) "
+          f"-> {args.out}")
     pack_from_h5(args.out, args.region_det_file_prefix,
                  args.region_bbox_file, keys,
                  n_regions=args.n_regions, feat_dim=args.feat_dim,
-                 cls_dim=args.cls_dim, dtype=np.dtype(args.dtype))
+                 cls_dim=args.cls_dim, dtype=np.dtype(args.dtype),
+                 precompute_pe=args.precompute_pe)
     print("done")
 
 

@@ -322,6 +322,7 @@ class EvalLoader:
                 ps[j] = pe
             return self.builder(fs[j], ps[j])
 
+        batched_gather = hasattr(self.store, "gather_into")
         for bi, lo in enumerate(range(0, len(self.examples),
                                       self.batch_size)):
             chunk = self.examples[lo:lo + self.batch_size]
@@ -332,9 +333,18 @@ class EvalLoader:
                 yield collate(exs), chunk, pad
                 continue
             fs, ps = slabs[bi % len(slabs)]
-            exs = list(pool.map(build_into,
-                                [(j, ex, fs, ps)
-                                 for j, ex in enumerate(chunk)]))
+            if batched_gather:
+                # one threaded native call for the whole batch (GIL
+                # released in C++) instead of per-example ctypes round-trips
+                self.store.gather_into([ex.feature_key for ex in chunk],
+                                       fs[:len(chunk)], ps[:len(chunk)])
+                exs = list(pool.map(
+                    lambda j: self.builder(fs[j], ps[j]),
+                    range(len(chunk))))
+            else:
+                exs = list(pool.map(build_into,
+                                    [(j, ex, fs, ps)
+                                     for j, ex in enumerate(chunk)]))
             for j in range(len(chunk), self.batch_size):
                 fs[j] = fs[len(chunk) - 1]
                 ps[j] = ps[len(chunk) - 1]

@@ -24,6 +24,7 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
 _MAGIC = b"VLPS"
 _VERSION = 1        # float32 records
 _VERSION_F16 = 2    # float16 records (dtype flag in the former pad field)
+_VERSION_PE = 3     # records are {feat, vis_pe}: featurization precomputed
 _HEADER_FMT = "<4sIQIIIIII"  # magic, ver, n, regions, feat, cls, bbox, keylen, dtype
 _HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 assert _HEADER_SIZE == 40
@@ -45,13 +46,16 @@ def _load_lib(build: bool = True):
     # vlps_meta slots — rebuild instead of failing later with a bare
     # AttributeError.  (make replaces the file, so the reload maps the new
     # inode rather than the already-open image.)
-    if not hasattr(lib, "vlps_batch_featurize16"):
+    def _stale(l):
+        return (not hasattr(l, "vlps_abi")) or l.vlps_abi() < 3
+
+    if _stale(lib):
         if build:
             _make()
             lib = ctypes.CDLL(path)
-        if not hasattr(lib, "vlps_batch_featurize16"):
+        if _stale(lib):
             raise OSError(
-                f"{path} is stale (missing vlps_batch_featurize16); "
+                f"{path} is stale (vlps_abi < 3); "
                 "rebuild with `make -C native` and restart")
     lib.vlps_open.restype = ctypes.c_void_p
     lib.vlps_open.argtypes = [ctypes.c_char_p]
@@ -82,7 +86,8 @@ def _load_lib(build: bool = True):
 def pack_store(out_path: str, keys: Sequence[str], records,
                n_regions: int = 100, feat_dim: int = 2048,
                cls_dim: int = 1601, bbox_dim: int = 6,
-               key_len: int = 64, dtype=np.float32) -> None:
+               key_len: int = 64, dtype=np.float32,
+               precompute_pe: bool = False) -> None:
     """Write the packed file.  ``records`` maps key ->
     (feat [nr, feat], cls [nr, cls], bbox [nr, bbox]) — a dict or a callable.
 
@@ -90,19 +95,41 @@ def pack_store(out_path: str, keys: Sequence[str], records,
     host pipeline is memory-bandwidth bound, so fp16 storage ≈ doubles
     loader throughput and halves host→device transfer; featurization math
     stays fp32 inside the C++ kernel either way.
+
+    ``precompute_pe=True`` writes v3: the geometry featurization
+    (deterministic per record) is run ONCE here and the record stores
+    ``{feat, vis_pe[nr, 6+cls_dim]}`` — the per-epoch gather hot path then
+    needs no layer-norm math at all, only dtype-converting memcpys.  Raw
+    cls/bbox are not retained (``PackedFeatureStore.raw`` is unavailable).
     """
     dtype = np.dtype(dtype)
     assert dtype in (np.float32, np.float16), dtype
     half = dtype == np.float16
     get = records.__getitem__ if hasattr(records, "__getitem__") else records
+    if precompute_pe:
+        version = _VERSION_PE
+        bbox_dim = 0
+    else:
+        version = _VERSION_F16 if half else _VERSION
     with open(out_path, "wb") as f:
-        f.write(struct.pack(_HEADER_FMT, _MAGIC,
-                            _VERSION_F16 if half else _VERSION, len(keys),
+        f.write(struct.pack(_HEADER_FMT, _MAGIC, version, len(keys),
                             n_regions, feat_dim, cls_dim, bbox_dim,
                             key_len, 1 if half else 0))
         for k in keys:
             kb = k.encode()[:key_len]
             f.write(kb + b"\x00" * (key_len - len(kb)))
+        if precompute_pe:
+            from vlp_tpu.data.example_builder import featurize_regions
+            for k in keys:
+                feat, cls, bbox = get(k)
+                assert feat.shape == (n_regions, feat_dim)
+                assert cls.shape == (n_regions, cls_dim)
+                pe = featurize_regions(np.asarray(bbox, np.float32),
+                                       np.asarray(cls, np.float32))
+                assert pe.shape == (n_regions, 6 + cls_dim)
+                f.write(np.ascontiguousarray(feat, dtype).tobytes())
+                f.write(np.ascontiguousarray(pe, dtype).tobytes())
+            return
         for k in keys:
             feat, cls, bbox = get(k)
             assert feat.shape == (n_regions, feat_dim)
@@ -129,6 +156,10 @@ class PackedFeatureStore:
         (self.n_records, self.n_regions, self.feat_dim, self.cls_dim,
          self.bbox_dim, self.key_len, dtype_flag) = [int(x) for x in meta]
         self.dtype = np.dtype(_DTYPES[dtype_flag])
+        with open(path, "rb") as f:
+            self.version = struct.unpack(
+                _HEADER_FMT, f.read(_HEADER_SIZE))[1]
+        self.precomputed_pe = self.version == _VERSION_PE
         self.pe_dim = 6 + self.cls_dim
         self.n_threads = n_threads
         # key -> record index memo: keys repeat every epoch, and a python
@@ -237,7 +268,12 @@ class PackedFeatureStore:
             raise RuntimeError("vlps_batch_featurize failed")
 
     def raw(self, key: str):
-        """(feat, cls, bbox) raw arrays — for repacking/debugging."""
+        """(feat, cls, bbox) raw arrays — for repacking/debugging.
+        Unavailable for v3 (precompute_pe) files, which retain only the
+        featurized vis_pe."""
+        if self.precomputed_pe:
+            raise RuntimeError(
+                "raw cls/bbox are not stored in a precompute_pe (v3) file")
         feat = np.empty((self.n_regions, self.feat_dim), np.float32)
         cls = np.empty((self.n_regions, self.cls_dim), np.float32)
         bbox = np.empty((self.n_regions, self.bbox_dim), np.float32)
@@ -246,6 +282,28 @@ class PackedFeatureStore:
         if rc != 0:
             raise KeyError(key)
         return feat, cls, bbox
+
+
+def repack_precomputed(src_path: str, out_path: str, dtype=None) -> None:
+    """Convert an existing v1/v2 packed store to v3 (featurization
+    precomputed).  ``dtype`` defaults to the source store's dtype."""
+    src = PackedFeatureStore(src_path, n_threads=1)
+    try:
+        if src.precomputed_pe:
+            raise ValueError(f"{src_path} is already v3")
+        keys = []
+        with open(src_path, "rb") as f:
+            f.seek(_HEADER_SIZE)
+            for _ in range(src.n_records):
+                kb = f.read(src.key_len)
+                keys.append(kb.split(b"\x00", 1)[0].decode())
+        pack_store(out_path, keys, lambda k: src.raw(k),
+                   n_regions=src.n_regions, feat_dim=src.feat_dim,
+                   cls_dim=src.cls_dim, bbox_dim=src.bbox_dim,
+                   key_len=src.key_len, dtype=dtype or src.dtype,
+                   precompute_pe=True)
+    finally:
+        src.close()
 
 
 def pack_from_h5(out_path: str, region_det_file_prefix: str,
