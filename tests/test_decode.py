@@ -176,6 +176,75 @@ class TestBeamParity:
             np.asarray, dec_b._beam(params, batch))
         np.testing.assert_array_equal(np.asarray(g_ids), ids[:, :, 0].T)
 
+    def test_reorder_impls_identical(self, rng):
+        """The one-hot MXU cache reorder (TPU fast path) and the row gather
+        are the same permutation — traces must match token-for-token."""
+        cfg, model, params = setup_model()
+        batch = decode_batch(cfg, 3, rng)
+        outs = {}
+        for impl in ("onehot", "gather"):
+            dp = DecodeParams(mask_id=MASK, eos_id=EOS, beam_size=3,
+                              max_tgt_length=6, min_len=2,
+                              forbid_duplicate_ngrams=True, ngram_size=2,
+                              reorder_impl=impl)
+            dec = Decoder(model, cfg, dp)
+            outs[impl] = jax.tree_util.tree_map(
+                np.asarray, dec._beam(params, batch))
+        for a, b in zip(outs["onehot"], outs["gather"]):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
+class TestPallasDecodeKernel:
+    """The fused decode-step kernel (ops/decode_attention.py, interpret mode
+    on CPU) against the XLA einsum path: same model, same params, traces
+    must agree."""
+
+    def _pair(self, seed=0):
+        import dataclasses
+        cfg, model, params = setup_model(seed)
+        cfg_k = dataclasses.replace(cfg, use_pallas_decode=True)
+        model_k = VLPModel(cfg_k)
+        return cfg, model, cfg_k, model_k, params
+
+    def test_greedy_matches_xla(self, rng):
+        cfg, model, cfg_k, model_k, params = self._pair()
+        batch = decode_batch(cfg, 3, rng)
+        dp = DecodeParams(mask_id=MASK, eos_id=EOS, max_tgt_length=5)
+        ids_x, lp_x = Decoder(model, cfg, dp).greedy(params, batch)
+        ids_k, lp_k = Decoder(model_k, cfg_k, dp).greedy(params, batch)
+        np.testing.assert_array_equal(np.asarray(ids_x), np.asarray(ids_k))
+        np.testing.assert_allclose(np.asarray(lp_x), np.asarray(lp_k),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_beam_matches_xla(self, rng):
+        cfg, model, cfg_k, model_k, params = self._pair(1)
+        batch = decode_batch(cfg, 2, rng)
+        dp = DecodeParams(mask_id=MASK, eos_id=EOS, beam_size=3,
+                          max_tgt_length=5, min_len=2,
+                          forbid_duplicate_ngrams=True, ngram_size=2)
+        out_x = jax.tree_util.tree_map(
+            np.asarray, Decoder(model, cfg, dp)._beam(params, batch))
+        out_k = jax.tree_util.tree_map(
+            np.asarray, Decoder(model_k, cfg_k, dp)._beam(params, batch))
+        np.testing.assert_array_equal(out_x[0], out_k[0])
+        np.testing.assert_array_equal(out_x[1], out_k[1])
+        np.testing.assert_allclose(out_x[2], out_k[2], rtol=1e-4, atol=1e-4)
+
+    def test_train_rollout_fallback_matches_xla(self, rng):
+        """Dropout-active sampling routes the column caches through the XLA
+        path (transpose fallback) — streams must be identical."""
+        cfg, model, cfg_k, model_k, params = self._pair(2)
+        batch = decode_batch(cfg, 2, rng)
+        dp = DecodeParams(mask_id=MASK, eos_id=EOS, max_tgt_length=4)
+        key = jax.random.PRNGKey(7)
+        ids_x, lp_x = Decoder(model, cfg, dp).sample(params, batch, key,
+                                                     train_mode=True)
+        ids_k, lp_k = Decoder(model_k, cfg_k, dp).sample(params, batch, key,
+                                                         train_mode=True)
+        np.testing.assert_array_equal(np.asarray(ids_x), np.asarray(ids_k))
+        np.testing.assert_allclose(np.asarray(lp_x), np.asarray(lp_k),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestSample:
     def test_sample_logprobs_consistent(self, rng):

@@ -57,6 +57,11 @@ class VLPConfig:
     # --- numerics ---
     dtype: str = "bfloat16"              # activation dtype on TPU
     use_pallas_attention: bool = True    # fused-attention kernel vs XLA reference path
+    # Fused decode-step attention kernel (ops/decode_attention.py) and its
+    # column cache layout [*, H*D].  None = follow use_pallas_attention.
+    # When active, KV caches are carried in the kernel layout; dropout-
+    # active rollouts (SCST sampling) transpose into the XLA path.
+    use_pallas_decode: "bool | None" = None
     fuse_qkv_proj: bool = False          # one runtime-concatenated QKV matmul
                                          # (param tree unchanged).  Measured
                                          # SLOWER on v5e (1310 vs 1340
@@ -76,6 +81,14 @@ class VLPConfig:
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def pallas_decode(self) -> bool:
+        """Effective decode-kernel switch (None defers to
+        use_pallas_attention)."""
+        if self.use_pallas_decode is None:
+            return self.use_pallas_attention
+        return self.use_pallas_decode
 
     @property
     def prefix_len(self) -> int:

@@ -51,6 +51,15 @@ class DecodeParams:
     max_tgt_length: int = 20
     # vocab-size bool mask of ids ignored by the ngram-forbid logic
     forbid_ignore_ids: Tuple[int, ...] = ()
+    # beam-reorder implementation for the generated K/V caches: "gather"
+    # (row gather, default) or "onehot" (batched one-hot MXU contraction).
+    # The gather lowers to a serialized per-row slice+update loop in HLO,
+    # but XLA's async pipelining overlaps it, and on a v5e it MEASURES
+    # faster than the one-hot contraction, whose cache-sized matmul sits on
+    # the critical path (interleaved A/B, tools/bench_beam_ab.py: 229 vs
+    # 223 captions/sec; fp32-accumulated onehot was worse still, 240 vs
+    # 222).  Both are trace-identical (tests/test_decode.py).
+    reorder_impl: str = "gather"
 
 
 def _expand_beams(x: jnp.ndarray, K: int) -> jnp.ndarray:
@@ -70,6 +79,31 @@ def _gather_beams(x: jnp.ndarray, ptrs: jnp.ndarray, B: int, K: int
     # array — pathological for the KV cache)
     out = xs[jnp.arange(B)[:, None], ptrs.astype(jnp.int32)]
     return out.reshape(x.shape)
+
+
+def _reorder_cache_onehot(c: jnp.ndarray, w: jnp.ndarray, B: int, K: int
+                          ) -> jnp.ndarray:
+    """Beam-reorder a stacked K/V cache by one-hot contraction.
+
+    c: [L, B*K, *cache_dims]; w: one-hot f32 [B, K_new, K_old]
+    (``w[b, n, k] = 1`` iff new beam ``n`` of example ``b`` continues old
+    beam ``k``).  On TPU the row gather ``c[:, b*K + ptrs]`` lowers to a
+    SERIALIZED per-row slice+update loop — 500 sequencer-bound iterations
+    per decode step over the full cache, the single hottest construct in
+    the profiled beam loop.  The same permutation as a batched one-hot
+    matmul is ONE bandwidth-bound MXU op.  Exact: each output element is a
+    sum with a single 1.0 term (fp32 accumulation of untouched values).
+    """
+    shape = c.shape
+    L, BK = shape[0], shape[1]
+    cb = c.reshape(L, B, K, -1)
+    # accumulate in the cache dtype: every output element is a single-term
+    # sum (w is one-hot), so low-precision accumulation is still exact —
+    # and an fp32 accumulator would materialise a cache-sized fp32
+    # intermediate (measured slower than the serialized gather it replaces)
+    out = jnp.einsum("bnk,lbkx->lbnx", w.astype(c.dtype), cb,
+                     preferred_element_type=c.dtype)
+    return out.reshape(shape)
 
 
 class Decoder:
@@ -126,11 +160,15 @@ class Decoder:
             self.dp.mask_id, method=VLPModel.decode_step, **kw)
 
     def _init_gen_cache(self, rows: int):
-        """Generated-token K/V caches [layers, rows, H, G, D]."""
+        """Generated-token K/V caches: [layers, rows, G, H*D] in the decode
+        kernel's column layout, else [layers, rows, H, G, D]."""
         cfg = self.cfg
         G = VLPModel.gen_cache_slots(self.dp.max_tgt_length)
-        shape = (cfg.num_hidden_layers, rows, cfg.num_attention_heads, G,
-                 cfg.head_dim)
+        if cfg.pallas_decode:
+            shape = (cfg.num_hidden_layers, rows, G, cfg.hidden_size)
+        else:
+            shape = (cfg.num_hidden_layers, rows, cfg.num_attention_heads,
+                     G, cfg.head_dim)
         dt = jnp.dtype(cfg.dtype)
         return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
 
@@ -326,8 +364,16 @@ class Decoder:
 
             # reorder the generated-token caches + committed seqs by back
             # pointers, then commit (the prompt caches need no reordering)
-            gk = jax.vmap(lambda c: _gather_beams(c, back_ptrs, B, K))(gk)
-            gv = jax.vmap(lambda c: _gather_beams(c, back_ptrs, B, K))(gv)
+            if dp.reorder_impl == "onehot":
+                w = jax.nn.one_hot(back_ptrs, K,
+                                   dtype=jnp.float32)        # [B, Kn, Ko]
+                gk = _reorder_cache_onehot(gk, w, B, K)
+                gv = _reorder_cache_onehot(gv, w, B, K)
+            else:
+                gk = jax.vmap(
+                    lambda c: _gather_beams(c, back_ptrs, B, K))(gk)
+                gv = jax.vmap(
+                    lambda c: _gather_beams(c, back_ptrs, B, K))(gv)
             flat = (jnp.arange(B)[:, None] * K
                     + back_ptrs.astype(jnp.int32)).reshape(-1)
             seqs = jnp.take(seqs, flat, axis=1)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from vlp_tpu.config import VLPConfig
 from vlp_tpu.ops import attention as attn_ops
+from vlp_tpu.ops import decode_attention as decode_attn_ops
 from vlp_tpu.ops import masks as mask_ops
 
 Array = jnp.ndarray
@@ -213,9 +214,10 @@ class TransformerLayer(nn.Module):
         prefill with the cache-based path)."""
         cfg = self.cfg
         B, L, _ = x.shape
-        q = self._heads(self.q_proj(x))   # [B,Hh,L,D]
-        k = self._heads(self.k_proj(x))
-        v = self._heads(self.v_proj(x))
+        qc = self.q_proj(x)               # [B,L,H*D] (cache-natural layout)
+        kc = self.k_proj(x)
+        vc = self.v_proj(x)
+        q, k, v = (self._heads(c) for c in (qc, kc, vc))     # [B,Hh,L,D]
         # decode-time s2s visibility (seq2seq_loader.py:423-429): prompt
         # bidirectional, probe causal
         i = jnp.arange(L)[:, None]
@@ -231,13 +233,65 @@ class TransformerLayer(nn.Module):
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = self._post_attention(self._merge(ctx), x,
                                    deterministic=deterministic)
-        return out, k, v
+        if cfg.pallas_decode:
+            # column-layout caches [B, prefix, H*D] for the decode kernel —
+            # the projections' literal output, no head transpose anywhere
+            return out, kc[:, :prefix], vc[:, :prefix]
+        return out, k[:, :, :prefix], v[:, :, :prefix]
 
     def incremental_split(self, x: Array, pk: Array, pv: Array, gk: Array,
                           gv: Array, gen_len,
                           deterministic: bool = True
                           ) -> Tuple[Array, Array, Array]:
         """KV-cached step over a split cache (TPU-first decode layout).
+
+        Two implementations behind ``cfg.pallas_decode``:
+
+          * kernel path (default on TPU): caches live in the projections'
+            column layout (pk/pv [B, P, H*D], gk/gv [B*K, G, H*D]) and the
+            whole attention middle — slot write, prompt+gen scores, joint
+            softmax, context — is ONE fused Pallas call per layer
+            (ops/decode_attention.py).  Deterministic only.
+          * XLA path (``_incremental_bhpd`` below): head-major caches,
+            reference einsum semantics, supports attention-prob dropout
+            (SCST sampled rollouts).  When the kernel layout is active but
+            dropout is requested, the caches are transposed through this
+            path per step (rollout throughput is not the serving path).
+        """
+        cfg = self.cfg
+        if not cfg.pallas_decode:
+            return self._incremental_bhpd(x, pk, pv, gk, gv, gen_len,
+                                          deterministic)
+        if deterministic:
+            q = self.q_proj(x)            # [B*K, S, H*D], cache layout
+            k = self.k_proj(x)
+            v = self.v_proj(x)
+            ctx, gk, gv = decode_attn_ops.decode_attention(
+                q, k, v, pk, pv, gk, gv, gen_len,
+                n_heads=cfg.num_attention_heads)
+            out = self._post_attention(ctx, x, deterministic=deterministic)
+            return out, gk, gv
+        Hh, D = cfg.num_attention_heads, cfg.head_dim
+
+        def to_heads(c):
+            n, p = c.shape[0], c.shape[1]
+            return c.reshape(n, p, Hh, D).transpose(0, 2, 1, 3)
+
+        out, gk4, gv4 = self._incremental_bhpd(
+            x, to_heads(pk), to_heads(pv), to_heads(gk), to_heads(gv),
+            gen_len, deterministic)
+
+        def to_cols(c):
+            n, _, g, _ = c.shape
+            return c.transpose(0, 2, 1, 3).reshape(n, g, Hh * D)
+
+        return out, to_cols(gk4), to_cols(gv4)
+
+    def _incremental_bhpd(self, x: Array, pk: Array, pv: Array, gk: Array,
+                          gv: Array, gen_len,
+                          deterministic: bool = True
+                          ) -> Tuple[Array, Array, Array]:
+        """KV-cached step, head-major XLA einsum path.
 
         The reference grows one ragged python cache per layer
         (modeling.py:1240-1250) and beam search reorders *all* of it every
@@ -558,10 +612,13 @@ class VLPModel(nn.Module):
                             deterministic=deterministic)
         ks, vs = [], []
         for layer in self.layers:
+            # prefill_attend returns the prompt K/V already sliced to
+            # ``prefix`` (the probe's [MASK] K/V is dropped) in the cache
+            # layout chosen by cfg.pallas_decode
             x, k, v = layer.prefill_attend(x, prefix,
                                            deterministic=deterministic)
-            ks.append(k[:, :, :prefix])   # drop the probe's K/V
-            vs.append(v[:, :, :prefix])
+            ks.append(k)
+            vs.append(v)
         return x[:, -1:, :], jnp.stack(ks), jnp.stack(vs)
 
     def decode_step(self, prev_ids: Array, segment_ids: Array,
