@@ -83,25 +83,20 @@ def _gather_beams(x: jnp.ndarray, ptrs: jnp.ndarray, B: int, K: int
 
 def _reorder_cache_onehot(c: jnp.ndarray, w: jnp.ndarray, B: int, K: int
                           ) -> jnp.ndarray:
-    """Beam-reorder a stacked K/V cache by one-hot contraction.
+    """Beam-reorder one layer's K/V cache by one-hot contraction.
 
-    c: [L, B*K, *cache_dims]; w: one-hot f32 [B, K_new, K_old]
+    c: [B*K, *cache_dims]; w: one-hot f32 [B, K_new, K_old]
     (``w[b, n, k] = 1`` iff new beam ``n`` of example ``b`` continues old
-    beam ``k``).  On TPU the row gather ``c[:, b*K + ptrs]`` lowers to a
-    SERIALIZED per-row slice+update loop — 500 sequencer-bound iterations
-    per decode step over the full cache, the single hottest construct in
-    the profiled beam loop.  The same permutation as a batched one-hot
-    matmul is ONE bandwidth-bound MXU op.  Exact: each output element is a
-    sum with a single 1.0 term (fp32 accumulation of untouched values).
+    beam ``k``).  Alternative to the row gather (which lowers to a
+    serialized per-row slice+update loop in HLO, though XLA's async
+    pipelining overlaps it well — see DecodeParams.reorder_impl).  Exact:
+    each output element is a single-term sum, so accumulation happens in
+    the cache dtype (an fp32 accumulator would materialise a cache-sized
+    fp32 intermediate, measured slower).
     """
     shape = c.shape
-    L, BK = shape[0], shape[1]
-    cb = c.reshape(L, B, K, -1)
-    # accumulate in the cache dtype: every output element is a single-term
-    # sum (w is one-hot), so low-precision accumulation is still exact —
-    # and an fp32 accumulator would materialise a cache-sized fp32
-    # intermediate (measured slower than the serialized gather it replaces)
-    out = jnp.einsum("bnk,lbkx->lbnx", w.astype(c.dtype), cb,
+    cb = c.reshape(B, K, -1)
+    out = jnp.einsum("bnk,bkx->bnx", w.astype(c.dtype), cb,
                      preferred_element_type=c.dtype)
     return out.reshape(shape)
 
@@ -160,17 +155,19 @@ class Decoder:
             self.dp.mask_id, method=VLPModel.decode_step, **kw)
 
     def _init_gen_cache(self, rows: int):
-        """Generated-token K/V caches: [layers, rows, G, H*D] in the decode
-        kernel's column layout, else [layers, rows, H, G, D]."""
+        """Generated-token K/V caches: per-layer TUPLES of [rows, G, H*D]
+        (decode-kernel column layout) or [rows, H, G, D] (XLA path) — never
+        stacked (see VLPModel._split_stack)."""
         cfg = self.cfg
         G = VLPModel.gen_cache_slots(self.dp.max_tgt_length)
         if cfg.pallas_decode:
-            shape = (cfg.num_hidden_layers, rows, G, cfg.hidden_size)
+            shape = (rows, G, cfg.hidden_size)
         else:
-            shape = (cfg.num_hidden_layers, rows, cfg.num_attention_heads,
-                     G, cfg.head_dim)
+            shape = (rows, cfg.num_attention_heads, G, cfg.head_dim)
         dt = jnp.dtype(cfg.dtype)
-        return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
+        L = cfg.num_hidden_layers
+        return (tuple(jnp.zeros(shape, dt) for _ in range(L)),
+                tuple(jnp.zeros(shape, dt) for _ in range(L)))
 
     def _logits(self, params, hidden, task_idx):
         out = self.model.apply({"params": params}, hidden, task_idx,
@@ -367,13 +364,11 @@ class Decoder:
             if dp.reorder_impl == "onehot":
                 w = jax.nn.one_hot(back_ptrs, K,
                                    dtype=jnp.float32)        # [B, Kn, Ko]
-                gk = _reorder_cache_onehot(gk, w, B, K)
-                gv = _reorder_cache_onehot(gv, w, B, K)
+                gk = tuple(_reorder_cache_onehot(c, w, B, K) for c in gk)
+                gv = tuple(_reorder_cache_onehot(c, w, B, K) for c in gv)
             else:
-                gk = jax.vmap(
-                    lambda c: _gather_beams(c, back_ptrs, B, K))(gk)
-                gv = jax.vmap(
-                    lambda c: _gather_beams(c, back_ptrs, B, K))(gv)
+                gk = tuple(_gather_beams(c, back_ptrs, B, K) for c in gk)
+                gv = tuple(_gather_beams(c, back_ptrs, B, K) for c in gv)
             flat = (jnp.arange(B)[:, None] * K
                     + back_ptrs.astype(jnp.int32)).reshape(-1)
             seqs = jnp.take(seqs, flat, axis=1)

@@ -585,7 +585,10 @@ class VLPModel(nn.Module):
                                               deterministic=deterministic)
             new_k.append(k)
             new_v.append(v)
-        return x, jnp.stack(new_k), jnp.stack(new_v)
+        # per-layer TUPLES, never stacked: a stacked [L, ...] cache costs a
+        # full-cache dynamic-update-slice restack + per-layer slice reads
+        # every step (~2 ms/step at B=100 K=5, measured in the trace)
+        return x, tuple(new_k), tuple(new_v)
 
     def prefill(self, input_ids: Array, segment_ids: Array,
                 position_ids: Array, vis_feats: Array, vis_pe: Array,
@@ -594,9 +597,10 @@ class VLPModel(nn.Module):
         """Encode the [CLS] regions [SEP] prompt plus the first [MASK] probe.
 
         Returns (hidden_of_probe [B,1,H], prompt_k, prompt_v) where the
-        prompt caches are [layers, B, H, prefix_len, D] — the probe's K/V is
-        dropped (it is a [MASK] that must not be attended to later; the
-        reference likewise overwrites its cache slot next step,
+        prompt caches are per-layer tuples of [B, prefix_len, H*D] (decode
+        kernel layout) or [B, H, prefix_len, D] (XLA path) — the probe's
+        K/V is dropped (it is a [MASK] that must not be attended to later;
+        the reference likewise overwrites its cache slot next step,
         modeling.py:1213/1240-1250).
         """
         cfg = self.cfg
@@ -619,7 +623,7 @@ class VLPModel(nn.Module):
                                            deterministic=deterministic)
             ks.append(k)
             vs.append(v)
-        return x[:, -1:, :], jnp.stack(ks), jnp.stack(vs)
+        return x[:, -1:, :], tuple(ks), tuple(vs)
 
     def decode_step(self, prev_ids: Array, segment_ids: Array,
                     position_ids: Array, pk: Array, pv: Array, gk: Array,
@@ -630,7 +634,8 @@ class VLPModel(nn.Module):
         the updated generated-token caches (prompt caches are read-only).
 
         prev_ids: int[B*K, 1]; segment_ids/position_ids: int[B*K, L] full
-        streams; pk/pv: [layers, B, H, P, D]; gk/gv: [layers, B*K, H, G, D].
+        streams; pk/pv/gk/gv: per-layer cache tuples (see prefill /
+        Decoder._init_gen_cache for the per-layer layouts).
         """
         BK = prev_ids.shape[0]
         cache_len = self.cfg.prefix_len + gen_len

@@ -8,18 +8,23 @@ async slices — profiled at ~21 ms/step for B=100 K=5 on a v5e against a
 ~6 ms bandwidth+FLOP floor, and the cost scales LINEARLY with batch (it is
 work, not dispatch overhead; measured B=100 vs B=400).
 
-This kernel runs one example per grid step and fuses the whole attention
-middle — gen-cache slot write, prompt scores, beam-local gen scores,
-joint softmax, context — reading each operand once:
+This kernel runs a BLOCK of E examples per grid step and fuses the whole
+attention middle — gen-cache slot write, prompt scores, beam-local gen
+scores, joint softmax, context — reading each operand once:
 
   * caches live in the projections' natural column layout ``[*, H*D]``
     (same philosophy as the training kernel's ``blhd`` layout —
     ops/attention.py:_fwd_kernel_blhd): no head transpose exists anywhere;
-  * the prompt cache block ``[P, H*D]`` is shared by the example's K beams
-    (it is stored once per example, never beam-expanded);
-  * gen scores are ONE ``[K*S, D] x [D, K*G]`` dot per head with an
-    in-register beam-diagonal + committed-slot visibility mask instead of
-    K separate tiny dots (the off-beam FLOPs are free next to the DMA);
+  * the prompt cache block ``[P, H*D]`` is shared by each example's K
+    beams (it is stored once per example, never beam-expanded);
+  * per head, ALL of the block's scores are TWO dots — queries
+    ``[E*K*S, D]`` against the stacked prompt caches ``[E*P, D]`` and the
+    stacked gen caches ``[E*K*G, D]`` — with an in-register block-diagonal
+    (same example) x beam-diagonal (same beam) x committed-slot mask.
+    Cross-example/-beam score entries are masked to -1e4, whose exp
+    underflows to exactly 0.0 in fp32, so the joint softmax is numerically
+    identical to per-example softmaxes while the dots are E-fold larger
+    (MXU-shaped) and E-fold fewer (grid overhead amortised);
   * the softmax over the concatenated (prompt | gen) axis is computed
     flash-style from the two pieces (joint row max, joint denominator) —
     no concatenated score tensor is ever materialised;
@@ -57,32 +62,37 @@ def _interpret() -> bool:
 
 def _kernel(gen_len_ref, q_ref, k_ref, v_ref, pk_ref, pv_ref, gk_ref, gv_ref,
             out_ref, gk_out_ref, gv_out_ref, *, H: int, K: int, S: int,
-            G: int, scale: float):
-    KS, HD = q_ref.shape
+            G: int, P: int, E: int, scale: float):
+    EKS, HD = q_ref.shape
     D = HD // H
+    EK = E * K
     gl = gen_len_ref[0]
 
-    # ---- gen-cache slot write (one-hot over the G dim, all beams at once)
+    # ---- gen-cache slot write (one-hot over the G dim, all rows at once)
     slot = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
-    kb = k_ref[...].reshape(K, S, HD)
-    vb = v_ref[...].reshape(K, S, HD)
-    gk3 = gk_ref[...].reshape(K, G, HD)
-    gv3 = gv_ref[...].reshape(K, G, HD)
+    kb = k_ref[...].reshape(EK, S, HD)
+    vb = v_ref[...].reshape(EK, S, HD)
+    gk3 = gk_ref[...].reshape(EK, G, HD)
+    gv3 = gv_ref[...].reshape(EK, G, HD)
     gk_new = jnp.where(slot == gl, kb[:, 0:1, :],
                        jnp.where(slot == gl + 1, kb[:, 1:2, :], gk3))
     gv_new = jnp.where(slot == gl, vb[:, 0:1, :],
                        jnp.where(slot == gl + 1, vb[:, 1:2, :], gv3))
-    gk_new = gk_new.reshape(K * G, HD)
-    gv_new = gv_new.reshape(K * G, HD)
+    gk_new = gk_new.reshape(EK * G, HD)
+    gv_new = gv_new.reshape(EK * G, HD)
     gk_out_ref[...] = gk_new
     gv_out_ref[...] = gv_new
 
-    # ---- visibility of gen slots: same beam AND committed (j <= gl + s)
-    row = jax.lax.broadcasted_iota(jnp.int32, (KS, K * G), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (KS, K * G), 1)
-    row_beam, row_s = row // S, row % S
-    col_beam, col_slot = col // G, col % G
-    gvis = (row_beam == col_beam) & (col_slot <= gl + row_s)
+    # ---- visibility masks (additive, fp32)
+    # prompt: same example only (block diagonal over the E examples)
+    rowp = jax.lax.broadcasted_iota(jnp.int32, (EKS, E * P), 0)
+    colp = jax.lax.broadcasted_iota(jnp.int32, (EKS, E * P), 1)
+    pvis = (rowp // (K * S)) == (colp // P)
+    pbias = jnp.where(pvis, 0.0, NEG_INF).astype(jnp.float32)
+    # gen: same example AND same beam AND committed slot (j <= gl + s)
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (EKS, EK * G), 0)
+    colg = jax.lax.broadcasted_iota(jnp.int32, (EKS, EK * G), 1)
+    gvis = ((rowg // S) == (colg // G)) & ((colg % G) <= gl + rowg % S)
     gbias = jnp.where(gvis, 0.0, NEG_INF).astype(jnp.float32)
 
     dt = out_ref.dtype
@@ -92,10 +102,10 @@ def _kernel(gen_len_ref, q_ref, k_ref, v_ref, pk_ref, pv_ref, gk_ref, gv_ref,
         qh = q_ref[:, cols]
         sp = jax.lax.dot_general(
             qh, pk_ref[:, cols], dimension_numbers=contract,
-            preferred_element_type=jnp.float32) * scale          # [KS, P]
+            preferred_element_type=jnp.float32) * scale + pbias  # [EKS, E*P]
         sg = jax.lax.dot_general(
             qh, gk_new[:, cols], dimension_numbers=contract,
-            preferred_element_type=jnp.float32) * scale + gbias  # [KS, K*G]
+            preferred_element_type=jnp.float32) * scale + gbias  # [EKS,EK*G]
         # joint softmax over (prompt | gen) without concatenating
         m = jnp.maximum(jnp.max(sp, axis=-1, keepdims=True),
                         jnp.max(sg, axis=-1, keepdims=True))
@@ -110,6 +120,15 @@ def _kernel(gen_len_ref, q_ref, k_ref, v_ref, pk_ref, pv_ref, gk_ref, gv_ref,
         ctx = ctx + jnp.dot(pg, gv_new[:, cols],
                             preferred_element_type=jnp.float32)
         out_ref[:, cols] = ctx.astype(dt)
+
+
+def _block_examples(B: int, K: int, G: int) -> int:
+    """Examples per grid step: amortise per-step overhead while keeping the
+    gen-score tile (E*K*G lanes) and VMEM block sizes moderate."""
+    for e in (8, 4, 2):
+        if B % e == 0 and e * K * G <= 1024:
+            return e
+    return 1
 
 
 def decode_attention(q, k, v, pk, pv, gk, gv, gen_len, *, n_heads: int):
@@ -128,34 +147,39 @@ def decode_attention(q, k, v, pk, pv, gk, gv, gen_len, *, n_heads: int):
     G = gk.shape[1]
     K = BK // B
     D = HD // n_heads
-    kernel = functools.partial(_kernel, H=n_heads, K=K, S=S, G=G,
+    E = _block_examples(B, K, G)
+    kernel = functools.partial(_kernel, H=n_heads, K=K, S=S, G=G, P=P, E=E,
                                scale=1.0 / math.sqrt(D))
 
     def row_spec(rows):
         return pl.BlockSpec((None, rows, HD), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    qv = q.reshape(B, K * S, HD)
-    kv_ = k.reshape(B, K * S, HD)
-    vv = v.reshape(B, K * S, HD)
-    gkv = gk.reshape(B, K * G, HD)
-    gvv = gv.reshape(B, K * G, HD)
+    nblk = B // E
+    qv = q.reshape(nblk, E * K * S, HD)
+    kv_ = k.reshape(nblk, E * K * S, HD)
+    vv = v.reshape(nblk, E * K * S, HD)
+    pkv = pk.reshape(nblk, E * P, HD)
+    pvv = pv.reshape(nblk, E * P, HD)
+    gkv = gk.reshape(nblk, E * K * G, HD)
+    gvv = gv.reshape(nblk, E * K * G, HD)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # gen_len
-        grid=(B,),
-        in_specs=[row_spec(K * S), row_spec(K * S), row_spec(K * S),
-                  row_spec(P), row_spec(P),
-                  row_spec(K * G), row_spec(K * G)],
-        out_specs=(row_spec(K * S), row_spec(K * G), row_spec(K * G)),
+        grid=(nblk,),
+        in_specs=[row_spec(E * K * S), row_spec(E * K * S),
+                  row_spec(E * K * S), row_spec(E * P), row_spec(E * P),
+                  row_spec(E * K * G), row_spec(E * K * G)],
+        out_specs=(row_spec(E * K * S), row_spec(E * K * G),
+                   row_spec(E * K * G)),
     )
     out, gk_new, gv_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((B, K * S, HD), q.dtype),
-                   jax.ShapeDtypeStruct((B, K * G, HD), gk.dtype),
-                   jax.ShapeDtypeStruct((B, K * G, HD), gv.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((nblk, E * K * S, HD), q.dtype),
+                   jax.ShapeDtypeStruct((nblk, E * K * G, HD), gk.dtype),
+                   jax.ShapeDtypeStruct((nblk, E * K * G, HD), gv.dtype)),
         interpret=_interpret(),
-    )(jnp.asarray(gen_len, jnp.int32).reshape(1), qv, kv_, vv, pk, pv,
+    )(jnp.asarray(gen_len, jnp.int32).reshape(1), qv, kv_, vv, pkv, pvv,
       gkv, gvv)
     return (out.reshape(BK, S, HD), gk_new.reshape(BK, G, HD),
             gv_new.reshape(BK, G, HD))
