@@ -199,10 +199,15 @@ class TestPallasDecodeKernel:
     on CPU) against the XLA einsum path: same model, same params, traces
     must agree."""
 
-    def _pair(self, seed=0):
+    def _pair(self, seed=0, prefill_kernel=True):
+        """prefill_kernel=True also flips use_pallas_attention so the
+        prefill routes through the training kernel (interpret on CPU);
+        the dropout-active fallback test keeps it off (the kernel's
+        dropout stream is distribution-equivalent, not bit-equal)."""
         import dataclasses
         cfg, model, params = setup_model(seed)
-        cfg_k = dataclasses.replace(cfg, use_pallas_decode=True)
+        cfg_k = dataclasses.replace(cfg, use_pallas_decode=True,
+                                    use_pallas_attention=prefill_kernel)
         model_k = VLPModel(cfg_k)
         return cfg, model, cfg_k, model_k, params
 
@@ -233,7 +238,8 @@ class TestPallasDecodeKernel:
     def test_train_rollout_fallback_matches_xla(self, rng):
         """Dropout-active sampling routes the column caches through the XLA
         path (transpose fallback) — streams must be identical."""
-        cfg, model, cfg_k, model_k, params = self._pair(2)
+        cfg, model, cfg_k, model_k, params = self._pair(
+            2, prefill_kernel=False)
         batch = decode_batch(cfg, 2, rng)
         dp = DecodeParams(mask_id=MASK, eos_id=EOS, max_tgt_length=4)
         key = jax.random.PRNGKey(7)

@@ -43,9 +43,10 @@ def main():
     variants = {}
     for name in args.variants.split(","):
         reorder = "onehot" if name.endswith("onehot") else "gather"
-        dp = dataclasses.replace(dec0.dp, reorder_impl=reorder)
-        cfg_v = dataclasses.replace(cfg,
-                                    use_pallas_decode=(name == "kernel"))
+        dp = dataclasses.replace(dec0.dp, reorder_impl=reorder,
+                                 approx_topk=name.endswith("approx"))
+        cfg_v = dataclasses.replace(
+            cfg, use_pallas_decode=name.startswith("kernel"))
         variants[name] = Decoder(VLPModel(cfg_v), cfg_v, dp)
 
     def run(dec, i):

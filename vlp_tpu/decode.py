@@ -51,6 +51,12 @@ class DecodeParams:
     max_tgt_length: int = 20
     # vocab-size bool mask of ids ignored by the ngram-forbid logic
     forbid_ignore_ids: Tuple[int, ...] = ()
+    # Approximate first-stage vocab top-k (jax.lax.approx_max_k, TPU
+    # PartialReduce) instead of exact top-k over the [B*K, V] logits.
+    # Opt-in: a missed candidate can shift a beam, so the default stays
+    # exact for reference trace parity; serving deployments that want the
+    # last ~1.5 ms/step can enable it (recall_target 0.99).
+    approx_topk: bool = False
     # beam-reorder implementation for the generated K/V caches: "gather"
     # (row gather, default) or "onehot" (batched one-hot MXU contraction).
     # The gather lowers to a serialized per-row slice+update loop in HLO,
@@ -302,7 +308,11 @@ class Decoder:
         if dp.min_len:
             C += 1
         C = min(C, V)
-        topv, topi = jax.lax.top_k(logits, C)                    # [B*K, C]
+        if dp.approx_topk:
+            topv, topi = jax.lax.approx_max_k(logits, C,
+                                              recall_target=0.99)
+        else:
+            topv, topi = jax.lax.top_k(logits, C)                # [B*K, C]
         vals = topv - lse[:, None]
         if dp.forbid_duplicate_ngrams:
             cand, flag = self._forbidden_candidates(seqs, t - 1, V)

@@ -32,7 +32,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vlp_tpu.config import VLPConfig
+from vlp_tpu.config import MODE_S2S, VLPConfig
 from vlp_tpu.ops import attention as attn_ops
 from vlp_tpu.ops import decode_attention as decode_attn_ops
 from vlp_tpu.ops import masks as mask_ops
@@ -214,30 +214,51 @@ class TransformerLayer(nn.Module):
         prefill with the cache-based path)."""
         cfg = self.cfg
         B, L, _ = x.shape
+        rate = (cfg.attention_probs_dropout_prob
+                if not deterministic else 0.0)
         qc = self.q_proj(x)               # [B,L,H*D] (cache-natural layout)
         kc = self.k_proj(x)
         vc = self.v_proj(x)
-        q, k, v = (self._heads(c) for c in (qc, kc, vc))     # [B,Hh,L,D]
-        # decode-time s2s visibility (seq2seq_loader.py:423-429): prompt
-        # bidirectional, probe causal
-        i = jnp.arange(L)[:, None]
-        j = jnp.arange(L)[None, :]
-        bias = jnp.where((j < prefix) | (j <= i), 0.0,
-                         mask_ops.NEG_INF)[None, None]
-        scores = jnp.einsum("bhsd,bhjd->bhsj", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(cfg.head_dim) + bias
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        probs = self.attn_dropout(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhsj,bhjd->bhsd", probs.astype(x.dtype), v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        out = self._post_attention(self._merge(ctx), x,
-                                   deterministic=deterministic)
+        # The decode-time visibility (prompt bidirectional, probe causal —
+        # seq2seq_loader.py:423-429) is EXACTLY the training kernel's s2s
+        # mask with text_end = L and prefix = prompt length, so the fused
+        # kernel serves prefill too (in the blhd layout: no head transpose).
+        if cfg.use_pallas_attention:
+            hd = (cfg.num_attention_heads, cfg.head_dim)
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (B,), 0, 2 ** 31 - 1)
+            ctx = attn_ops.attention_pallas(
+                qc.reshape(B, L, *hd), kc.reshape(B, L, *hd),
+                vc.reshape(B, L, *hd),
+                jnp.full((B,), MODE_S2S, jnp.int32),
+                jnp.full((B,), L, jnp.int32),
+                jnp.ones((B, L), jnp.float32), prefix=prefix,
+                dropout_rate=rate, dropout_seed=seed, layout="blhd")
+            ctx = ctx.reshape(B, L, cfg.hidden_size)
+        else:
+            q, k, v = (self._heads(c) for c in (qc, kc, vc))  # [B,Hh,L,D]
+            i = jnp.arange(L)[:, None]
+            j = jnp.arange(L)[None, :]
+            bias = jnp.where((j < prefix) | (j <= i), 0.0,
+                             mask_ops.NEG_INF)[None, None]
+            scores = jnp.einsum("bhsd,bhjd->bhsj", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / math.sqrt(cfg.head_dim) + bias
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            probs = self.attn_dropout(probs, deterministic=deterministic)
+            ctx = self._merge(jnp.einsum(
+                "bhsj,bhjd->bhsd", probs.astype(x.dtype), v,
+                preferred_element_type=jnp.float32).astype(x.dtype))
+        out = self._post_attention(ctx, x, deterministic=deterministic)
         if cfg.pallas_decode:
             # column-layout caches [B, prefix, H*D] for the decode kernel —
             # the projections' literal output, no head transpose anywhere
             return out, kc[:, :prefix], vc[:, :prefix]
-        return out, k[:, :, :prefix], v[:, :, :prefix]
+        kh = self._heads(kc)
+        vh = self._heads(vc)
+        return out, kh[:, :, :prefix], vh[:, :, :prefix]
 
     def incremental_split(self, x: Array, pk: Array, pv: Array, gk: Array,
                           gv: Array, gen_len,
