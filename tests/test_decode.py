@@ -194,6 +194,18 @@ class TestBeamParity:
             np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
 
 
+class TestExactTopkBlocks:
+    def test_matches_lax_topk(self, rng):
+        from vlp_tpu.decode import _exact_topk_blocks
+        for V, C in ((30522, 23), (5000, 8), (1024, 6), (4097, 30)):
+            logits = jnp.asarray(rng.normal(size=(7, V)).astype(np.float32))
+            vals, ids = _exact_topk_blocks(logits, C)
+            rvals, rids = jax.lax.top_k(logits, C)
+            np.testing.assert_array_equal(np.asarray(vals),
+                                          np.asarray(rvals))
+            np.testing.assert_array_equal(np.asarray(ids), np.asarray(rids))
+
+
 class TestPallasDecodeKernel:
     """The fused decode-step kernel (ops/decode_attention.py, interpret mode
     on CPU) against the XLA einsum path: same model, same params, traces

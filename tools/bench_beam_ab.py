@@ -43,8 +43,10 @@ def main():
     variants = {}
     for name in args.variants.split(","):
         reorder = "onehot" if name.endswith("onehot") else "gather"
-        dp = dataclasses.replace(dec0.dp, reorder_impl=reorder,
-                                 approx_topk=name.endswith("approx"))
+        dp = dataclasses.replace(
+            dec0.dp, reorder_impl=reorder,
+            approx_topk=name.endswith("approx"),
+            topk_impl="full" if name.endswith("fulltopk") else "blocks")
         cfg_v = dataclasses.replace(
             cfg, use_pallas_decode=name.startswith("kernel"))
         variants[name] = Decoder(VLPModel(cfg_v), cfg_v, dp)

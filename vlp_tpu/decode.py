@@ -57,6 +57,12 @@ class DecodeParams:
     # exact for reference trace parity; serving deployments that want the
     # last ~1.5 ms/step can enable it (recall_target 0.99).
     approx_topk: bool = False
+    # exact first-stage impl: "full" (one lax.top_k custom call, default)
+    # or "blocks" (block-max prefilter, also exact — _exact_topk_blocks).
+    # Measured on v5e (interleaved A/B): full 563 vs blocks 524
+    # captions/sec — the prefilter's candidate-block gather costs more
+    # than the narrower final top-k saves.  Kept as a measured option.
+    topk_impl: str = "full"
     # beam-reorder implementation for the generated K/V caches: "gather"
     # (row gather, default) or "onehot" (batched one-hot MXU contraction).
     # The gather lowers to a serialized per-row slice+update loop in HLO,
@@ -105,6 +111,35 @@ def _reorder_cache_onehot(c: jnp.ndarray, w: jnp.ndarray, B: int, K: int
     out = jnp.einsum("bnk,bkx->bnx", w.astype(c.dtype), cb,
                      preferred_element_type=c.dtype)
     return out.reshape(shape)
+
+
+def _exact_topk_blocks(logits: jnp.ndarray, C: int, block: int = 512
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-C via block-max prefilter: top-C blocks by per-block max,
+    then exact top-C over just those blocks' columns.
+
+    Correct because if x is in the global top-C but its block is not among
+    the top-C blocks by max, C other blocks each contain an element
+    > max(block(x)) >= x — contradiction.  The expensive full-width top-k
+    custom call (1.5 ms/step over [B*K, V] at B=100 K=5) becomes one
+    max-reduce pass plus two small top-ks and a gather.
+    """
+    R, V = logits.shape
+    nb = -(-V // block)
+    pad = nb * block - V
+    x = jnp.pad(logits, ((0, 0), (0, pad)),
+                constant_values=-jnp.inf) if pad else logits
+    xb = x.reshape(R, nb, block)
+    bmax = jnp.max(xb, axis=-1)                                # [R, nb]
+    nblk = min(C, nb)
+    _, bidx = jax.lax.top_k(bmax, nblk)                        # [R, nblk]
+    cand = jnp.take_along_axis(xb, bidx[:, :, None], axis=1)   # [R,nblk,blk]
+    cand = cand.reshape(R, nblk * block)
+    vals, flat = jax.lax.top_k(cand, C)
+    # map flat candidate positions back to vocab ids
+    blk_of = jnp.take_along_axis(bidx, flat // block, axis=1)
+    ids = blk_of * block + flat % block
+    return vals, ids
 
 
 class Decoder:
@@ -311,6 +346,8 @@ class Decoder:
         if dp.approx_topk:
             topv, topi = jax.lax.approx_max_k(logits, C,
                                               recall_target=0.99)
+        elif dp.topk_impl == "blocks" and V > 4096:
+            topv, topi = _exact_topk_blocks(logits, C)           # [B*K, C]
         else:
             topv, topi = jax.lax.top_k(logits, C)                # [B*K, C]
         vals = topv - lse[:, None]
