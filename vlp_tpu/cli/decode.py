@@ -67,6 +67,11 @@ def build_parser():
     p.add_argument("--synthetic_data", action="store_true")
     p.add_argument("--num_synthetic", type=int, default=16)
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--approx_topk", action="store_true",
+                   help="approximate first-stage vocab top-k "
+                        "(jax.lax.approx_max_k, recall 0.99): ~8% faster "
+                        "beam decode; a missed candidate can shift a beam, "
+                        "so off by default for reference trace parity")
     return p
 
 
@@ -119,7 +124,8 @@ def main(argv=None):
         forbid_duplicate_ngrams=args.forbid_duplicate_ngrams,
         ngram_size=args.ngram_size, min_len=args.min_len or 0,
         max_tgt_length=args.max_tgt_length,
-        forbid_ignore_ids=forbid_ignore_ids)
+        forbid_ignore_ids=forbid_ignore_ids,
+        approx_topk=args.approx_topk)
     # data-parallel decode over all local devices (the reference is
     # single-GPU at inference, README.md:205)
     mesh = None
