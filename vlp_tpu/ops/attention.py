@@ -116,32 +116,38 @@ def _fwd_kernel(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref, colkeep_ref,
 
 def _fwd_kernel_blhd(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref,
                      colkeep_ref, out_ref, *, prefix: int, drop_rate: float,
-                     scale: float, H: int):
+                     scale: float, H: int, L: int, E: int):
     """[B,L,H*D] layout — the QKV projections' LITERAL output, so no head
     transpose exists anywhere (the [B,H,L,D] custom-call operands otherwise
     cost XLA one physical copy per q/k/v/out/do/dq/dk/dv per layer, ~15% of
     the whole pretraining step, measured in the trace).  Refs are 2-D
-    [L, H*D] blocks; heads are static column slices — per-head [L,1,D]
+    [E*L, H*D] blocks holding E examples per grid step (the per-example
+    grid left the kernel well above its DMA floor on grid-step overhead;
+    the inner loop keeps per-example masks, dropout streams, and numerics
+    bit-identical); heads are static column slices — per-head [L,1,D]
     squeezes of a 4-D block are vector shape casts Mosaic cannot legalize
     (and squeezed middle block dims are rejected outright)."""
-    L, HD = q_ref.shape
-    D = HD // H
-    b = pl.program_id(0)
-    bias = _mask_bias(mode_ref[b], te_ref[b], colkeep_ref[b, :], prefix, L)
-    if drop_rate > 0.0:
-        pltpu.prng_seed(seed_ref[b])
-    for h in range(H):
-        cols = slice(h * D, (h + 1) * D)
-        s = jax.lax.dot_general(
-            q_ref[:, cols], k_ref[:, cols],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias
-        p = _softmax_probs(s)
+    D = q_ref.shape[1] // H
+    blk = pl.program_id(0)
+    for e in range(E):
+        b = blk * E + e
+        rows = slice(e * L, (e + 1) * L)
+        bias = _mask_bias(mode_ref[b], te_ref[b], colkeep_ref[b, :],
+                          prefix, L)
         if drop_rate > 0.0:
-            p = p * _dropout_keep_scale((L, L), drop_rate)
-        out_ref[:, cols] = jnp.dot(
-            p.astype(q_ref.dtype), v_ref[:, cols],
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+            pltpu.prng_seed(seed_ref[b])
+        for h in range(H):
+            cols = slice(h * D, (h + 1) * D)
+            s = jax.lax.dot_general(
+                q_ref[rows, cols], k_ref[rows, cols],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + bias
+            p = _softmax_probs(s)
+            if drop_rate > 0.0:
+                p = p * _dropout_keep_scale((L, L), drop_rate)
+            out_ref[rows, cols] = jnp.dot(
+                p.astype(q_ref.dtype), v_ref[rows, cols],
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _bwd_kernel(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref, colkeep_ref,
@@ -188,45 +194,50 @@ def _bwd_kernel(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref, colkeep_ref,
 
 def _bwd_kernel_blhd(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref,
                      colkeep_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                     *, prefix: int, drop_rate: float, scale: float, H: int):
-    """[B,L,H*D] backward (see _fwd_kernel_blhd)."""
-    L, HD = q_ref.shape
-    D = HD // H
-    b = pl.program_id(0)
-    bias = _mask_bias(mode_ref[b], te_ref[b], colkeep_ref[b, :], prefix, L)
-    if drop_rate > 0.0:
-        pltpu.prng_seed(seed_ref[b])  # same stream as _fwd_kernel_blhd
-    for h in range(H):
-        cols = slice(h * D, (h + 1) * D)
-        q = q_ref[:, cols].astype(jnp.float32)
-        k = k_ref[:, cols].astype(jnp.float32)
-        v = v_ref[:, cols].astype(jnp.float32)
-        do = do_ref[:, cols].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias
-        p = _softmax_probs(s)
+                     *, prefix: int, drop_rate: float, scale: float, H: int,
+                     L: int, E: int):
+    """[B,L,H*D] backward, E examples per grid step (see
+    _fwd_kernel_blhd)."""
+    D = q_ref.shape[1] // H
+    blk = pl.program_id(0)
+    for e in range(E):
+        b = blk * E + e
+        rows = slice(e * L, (e + 1) * L)
+        bias = _mask_bias(mode_ref[b], te_ref[b], colkeep_ref[b, :],
+                          prefix, L)
         if drop_rate > 0.0:
-            keep = _dropout_keep_scale((L, L), drop_rate)
-            pd = p * keep
-        else:
-            keep = None
-            pd = p
-        dv = jax.lax.dot_general(
-            pd, do, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dpd = jax.lax.dot_general(
-            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = dpd * keep if keep is not None else dpd
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(
-            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        dq_ref[:, cols] = dq.astype(dq_ref.dtype)
-        dk_ref[:, cols] = dk.astype(dk_ref.dtype)
-        dv_ref[:, cols] = dv.astype(dv_ref.dtype)
+            pltpu.prng_seed(seed_ref[b])  # same stream as _fwd_kernel_blhd
+        for h in range(H):
+            cols = slice(h * D, (h + 1) * D)
+            q = q_ref[rows, cols].astype(jnp.float32)
+            k = k_ref[rows, cols].astype(jnp.float32)
+            v = v_ref[rows, cols].astype(jnp.float32)
+            do = do_ref[rows, cols].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + bias
+            p = _softmax_probs(s)
+            if drop_rate > 0.0:
+                keep = _dropout_keep_scale((L, L), drop_rate)
+                pd = p * keep
+            else:
+                keep = None
+                pd = p
+            dv = jax.lax.dot_general(
+                pd, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dpd = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = dpd * keep if keep is not None else dpd
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dq_ref[rows, cols] = dq.astype(dq_ref.dtype)
+            dk_ref[rows, cols] = dk.astype(dk_ref.dtype)
+            dv_ref[rows, cols] = dv.astype(dv_ref.dtype)
 
 
 def _interpret() -> bool:
@@ -246,6 +257,24 @@ def _row_spec(L, HD):
                         memory_space=pltpu.VMEM)
 
 
+_BLHD_E_OVERRIDE = None  # bench hook: force examples-per-grid-step
+
+
+def _blhd_block_examples(B: int) -> int:
+    """Examples per grid step for the blhd kernels.
+
+    Default 1: unlike the decode kernel (10-row blocks, where E=4 example
+    blocking bought 27%), the training kernel's [128, 768] per-example
+    blocks already saturate the grid pipeline — measured on v5e
+    (tools/bench_attn_block.py, interleaved best-of-4): E=1 1339, E=2
+    1293, E=4 1310 samples/sec/chip; E=8 OOMs the 16MB scoped-vmem stack
+    in the backward.  The machinery stays for experiments via the
+    override."""
+    if _BLHD_E_OVERRIDE is not None and B % _BLHD_E_OVERRIDE == 0:
+        return _BLHD_E_OVERRIDE
+    return 1
+
+
 def _pallas_fwd(q, k, v, mode, text_end, colkeep, seed, prefix, drop_rate,
                 blhd):
     B = q.shape[0]
@@ -254,22 +283,26 @@ def _pallas_fwd(q, k, v, mode, text_end, colkeep, seed, prefix, drop_rate,
     if blhd:
         L, H = q.shape[1], q.shape[2]
         HD = H * D
-        q, k, v = (x.reshape(B, L, HD) for x in (q, k, v))  # bitcasts
+        E = _blhd_block_examples(B)
+        nblk = B // E
+        q, k, v = (x.reshape(nblk, E * L, HD) for x in (q, k, v))  # bitcasts
         kernel = functools.partial(_fwd_kernel_blhd, prefix=prefix,
-                                   drop_rate=drop_rate, scale=scale, H=H)
+                                   drop_rate=drop_rate, scale=scale, H=H,
+                                   L=L, E=E)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # mode, text_end, seed
-            grid=(B,),
+            grid=(nblk,),
             in_specs=[
-                _row_spec(L, HD), _row_spec(L, HD), _row_spec(L, HD),
+                _row_spec(E * L, HD), _row_spec(E * L, HD),
+                _row_spec(E * L, HD),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # colkeep [B, L]
             ],
-            out_specs=_row_spec(L, HD),
+            out_specs=_row_spec(E * L, HD),
         )
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((B, L, HD), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((nblk, E * L, HD), q.dtype),
             interpret=_interpret(),
         )(mode, text_end, seed, q, k, v, colkeep)
         return out.reshape(B, L, H, D)
@@ -303,25 +336,30 @@ def _pallas_bwd_call(q, k, v, mode, text_end, colkeep, seed, do, prefix,
     if blhd:
         L, H = q.shape[1], q.shape[2]
         HD = H * D
-        q, k, v, do = (x.reshape(B, L, HD) for x in (q, k, v, do))
+        E = _blhd_block_examples(B)
+        nblk = B // E
+        q, k, v, do = (x.reshape(nblk, E * L, HD) for x in (q, k, v, do))
         kernel = functools.partial(_bwd_kernel_blhd, prefix=prefix,
-                                   drop_rate=drop_rate, scale=scale, H=H)
+                                   drop_rate=drop_rate, scale=scale, H=H,
+                                   L=L, E=E)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B,),
+            grid=(nblk,),
             in_specs=[
-                _row_spec(L, HD), _row_spec(L, HD), _row_spec(L, HD),
+                _row_spec(E * L, HD), _row_spec(E * L, HD),
+                _row_spec(E * L, HD),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # colkeep [B, L]
-                _row_spec(L, HD),
+                _row_spec(E * L, HD),
             ],
-            out_specs=(_row_spec(L, HD), _row_spec(L, HD), _row_spec(L, HD)),
+            out_specs=(_row_spec(E * L, HD), _row_spec(E * L, HD),
+                       _row_spec(E * L, HD)),
         )
         dq, dk, dv = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(jax.ShapeDtypeStruct((B, L, HD), q.dtype),
-                       jax.ShapeDtypeStruct((B, L, HD), q.dtype),
-                       jax.ShapeDtypeStruct((B, L, HD), q.dtype)),
+            out_shape=(jax.ShapeDtypeStruct((nblk, E * L, HD), q.dtype),
+                       jax.ShapeDtypeStruct((nblk, E * L, HD), q.dtype),
+                       jax.ShapeDtypeStruct((nblk, E * L, HD), q.dtype)),
             interpret=_interpret(),
         )(mode, text_end, seed, q, k, v, colkeep, do)
         return (dq.reshape(B, L, H, D), dk.reshape(B, L, H, D),
