@@ -160,14 +160,24 @@ class TestGSPMD:
 
 
 class TestDataParallelDecode:
-    def test_sharded_beam_matches_single(self, rng):
-        """Beam search with the batch sharded over an 8-device data mesh must
-        reproduce the single-device traces exactly (decode has no Pallas
-        calls; GSPMD partitions the scan by computation-follows-data)."""
+    @pytest.mark.parametrize("pallas", [False, True],
+                             ids=["xla", "pallas_kernels"])
+    def test_sharded_beam_matches_single(self, rng, pallas):
+        """Beam search with the batch sharded over an 8-device data mesh
+        must reproduce the single-device traces exactly.  With a mesh the
+        Decoder runs the loop under shard_map (GSPMD cannot auto-partition
+        Mosaic custom calls) — the pallas variant certifies the production
+        configuration: fused prefill + decode-step kernels per shard."""
+        import dataclasses
         from vlp_tpu.decode import DecodeParams, Decoder
+        from vlp_tpu.models.model import VLPModel
         from tests.test_decode import decode_batch, setup_model
 
         cfg, model, params = setup_model(seed=2)
+        if pallas:
+            cfg = dataclasses.replace(cfg, use_pallas_attention=True,
+                                      use_pallas_decode=True)
+            model = VLPModel(cfg)
         dp = DecodeParams(beam_size=3, eos_id=4, mask_id=5,
                           forbid_duplicate_ngrams=True, ngram_size=2,
                           max_tgt_length=cfg.max_len_b,

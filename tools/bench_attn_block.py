@@ -44,30 +44,32 @@ def main():
         jax.random.PRNGKey(7), (K, B, cfg.len_vis_input, cfg.vis_feat_dim),
         jnp.float32)
 
+    # ONE shared state: E only changes the kernel grid, never the param
+    # tree, and per-variant resident states (params + BertAdam moments)
+    # would OOM the chip (see tools/bench_dropout_prng.py).  Updated states
+    # are dropped after each timed call — throughput only.
+    state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                      lr=1e-4, warmup=0.1, t_total=100000)
     variants = {}
     for e in [int(x) for x in args.es.split(",")]:
         attn._BLHD_E_OVERRIDE = e
-        state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
-                                          lr=1e-4, warmup=0.1,
-                                          t_total=100000)
         multi = jax.jit(ts.make_multi_step(model, tx,
                                            mask_image_regions=True))
         t0 = time.perf_counter()
-        state, m = multi(state, stacked, ts.fast_prng_key(0), 0.0)
+        _, m = multi(state, stacked, ts.fast_prng_key(0), 0.0)
         float(m["loss"][-1])
         print(f"E={e}: compile+first {time.perf_counter() - t0:.1f}s",
               flush=True)
-        variants[e] = (multi, state)
+        variants[e] = multi
     attn._BLHD_E_OVERRIDE = None
 
     best = {e: 1e9 for e in variants}
     for rep in range(args.reps):
-        for e, (multi, state) in variants.items():
+        for e, multi in variants.items():
             t0 = time.perf_counter()
-            state, m = multi(state, stacked, ts.fast_prng_key(rep + 1), 0.0)
+            _, m = multi(state, stacked, ts.fast_prng_key(rep + 1), 0.0)
             float(m["loss"][-1])
             best[e] = min(best[e], time.perf_counter() - t0)
-            variants[e] = (multi, state)
     for e, t in sorted(best.items()):
         print(f"E={e}: best {B * K / t:8.1f} samples/sec/chip "
               f"({t / K * 1000:.2f} ms/step)")

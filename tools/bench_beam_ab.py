@@ -29,8 +29,10 @@ def main():
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--variants", default="kernel,xla",
                     help="comma list: kernel (fused Pallas decode step), "
-                         "xla (einsum path), xla-onehot (einsum path + "
-                         "one-hot cache reorder)")
+                         "xla (einsum path); suffixes -onehot (one-hot "
+                         "cache reorder), -approx (approx_max_k first "
+                         "stage), -blocktopk (block-max-prefilter exact "
+                         "top-k).  No suffix = shipped defaults.")
     args = ap.parse_args()
 
     import dataclasses
@@ -46,7 +48,7 @@ def main():
         dp = dataclasses.replace(
             dec0.dp, reorder_impl=reorder,
             approx_topk=name.endswith("approx"),
-            topk_impl="full" if name.endswith("fulltopk") else "blocks")
+            topk_impl="blocks" if name.endswith("blocktopk") else "full")
         cfg_v = dataclasses.replace(
             cfg, use_pallas_decode=name.startswith("kernel"))
         variants[name] = Decoder(VLPModel(cfg_v), cfg_v, dp)

@@ -3,13 +3,16 @@
 Re-implements the reference decoder
 (/root/reference/pytorch_pretrained_bert/modeling.py:1147-1494) TPU-first:
 
-  * the ragged python-list activation cache (modeling.py:1240-1250) becomes a
-    preallocated SPLIT K/V cache updated with ``dynamic_update_slice`` — the
-    [CLS] regions [SEP] prompt K/V lives once per example
-    [layers, B, heads, prefix, head_dim] (never beam-expanded, never
-    reordered) while generated tokens get a small per-beam cache
-    [layers, B*K, heads, ~24, head_dim]; K/V are cached directly instead of
-    re-projecting layer inputs every step;
+  * the ragged python-list activation cache (modeling.py:1240-1250) becomes
+    a preallocated SPLIT K/V cache carried as per-layer TUPLES (a stacked
+    [layers, ...] carry costs a full-cache restack + per-layer slice reads
+    every step) — the [CLS] regions [SEP] prompt K/V lives once per example
+    (never beam-expanded, never reordered) while generated tokens get a
+    small per-beam ~24-slot cache, the only part beam reordering touches;
+    per-layer layouts are [B, P, H*D] / [rows, G, H*D] under the fused
+    decode kernel (cfg.pallas_decode, ops/decode_attention.py) and
+    [B, H, P, D] / [rows, H, G, D] on the XLA path; K/V are cached
+    directly instead of re-projecting layer inputs every step;
   * each step feeds [prev_token, [MASK] probe] exactly like the reference's
     ``x_input_ids = cat(curr_ids, mask_ids)`` (modeling.py:1213), predicting
     at the probe and committing only the real token's K/V;
@@ -123,6 +126,12 @@ def _exact_topk_blocks(logits: jnp.ndarray, C: int, block: int = 512
     > max(block(x)) >= x — contradiction.  The expensive full-width top-k
     custom call (1.5 ms/step over [B*K, V] at B=100 K=5) becomes one
     max-reduce pass plus two small top-ks and a gather.
+
+    VALUE-exact only: under exactly-tied logits the returned ids can
+    tie-break differently from ``lax.top_k``'s lowest-index rule (the
+    second stage sorts a block-max-ordered candidate buffer).  Ties are
+    measure-zero for real logits; the shipped default is "full" anyway
+    (and measured faster — see DecodeParams.topk_impl).
     """
     R, V = logits.shape
     nb = -(-V // block)
@@ -146,12 +155,15 @@ class Decoder:
     """Functional decoder bound to a model definition (params passed per call).
 
     Data-parallel decoding: pass ``mesh`` (with a ``data`` axis) and call
-    ``shard_inputs`` on (params, batch) before decoding — the batch is placed
-    sharded over the data axis, params replicated, and the jitted generation
-    loop parallelises by computation-follows-data (the reference is
+    ``shard_inputs`` on (params, batch) before decoding — the batch is
+    placed sharded over the data axis, params replicated (the reference is
     single-GPU at inference, decode_img2txt.py:179-180 + README.md:205).
-    The decode path has no Pallas calls, so GSPMD partitions it freely.
-    """
+    With a mesh the generation loop runs under ``shard_map`` (params
+    replicated, batch sharded): decoding is embarrassingly data-parallel
+    (no cross-example collectives), and the Pallas prefill/decode kernels
+    run per shard — GSPMD cannot auto-partition Mosaic custom calls, the
+    same reason training's shard_map path exists (parallel/pjit_step.py:
+    make_shard_map_step)."""
 
     def __init__(self, model: VLPModel, cfg: VLPConfig, dp: DecodeParams,
                  mesh=None):
@@ -159,16 +171,55 @@ class Decoder:
         self.cfg = cfg
         self.dp = dp
         self.mesh = mesh
-        self._greedy = jax.jit(functools.partial(self._run_greedy,
+
+        def dp_wrap(f, batch_out_axes):
+            """jit(f) without a mesh; jit(shard_map(f)) over the data axis
+            with one.  ``batch_out_axes``: the batch axis of each output
+            (traces are [T, B, K] — axis 1; greedy ids/lps are [B, T] —
+            axis 0)."""
+            if mesh is None:
+                return jax.jit(f)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec
+
+            def spec(axis):
+                parts = [None] * (axis + 1)
+                parts[axis] = "data"
+                return PartitionSpec(*parts)
+
+            def fold_shard(r):
+                # de-correlate per-shard sampling streams (rng args are
+                # replicated into every shard)
+                return jax.random.fold_in(r, jax.lax.axis_index("data"))
+
+            def per_shard(params, batch, *rest):
+                return f(params, batch, *(fold_shard(r) for r in rest))
+
+            def sharded(params, batch, *rest):
+                in_specs = (
+                    jax.tree_util.tree_map(lambda _: PartitionSpec(),
+                                           params),
+                    jax.tree_util.tree_map(lambda _: spec(0), batch),
+                ) + tuple(PartitionSpec() for _ in rest)
+                out_specs = jax.tree_util.tree_map(
+                    lambda ax: spec(ax), batch_out_axes,
+                    is_leaf=lambda x: isinstance(x, int))
+                return shard_map(per_shard, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs,
+                                 check_rep=False)(params, batch, *rest)
+
+            return jax.jit(sharded)
+
+        self._greedy = dp_wrap(functools.partial(self._run_greedy,
                                                  sample=False,
-                                                 train_mode=False))
-        self._sample = jax.jit(functools.partial(self._run_greedy,
+                                                 train_mode=False), (0, 0))
+        self._sample = dp_wrap(functools.partial(self._run_greedy,
                                                  sample=True,
-                                                 train_mode=False))
-        self._sample_train = jax.jit(functools.partial(self._run_greedy,
-                                                       sample=True,
-                                                       train_mode=True))
-        self._beam = jax.jit(self._run_beam)
+                                                 train_mode=False), (0, 0))
+        self._sample_train = dp_wrap(
+            functools.partial(self._run_greedy, sample=True,
+                              train_mode=True), (0, 0))
+        self._beam = dp_wrap(self._run_beam, (1, 1, 1))
 
     # -- shared primitives -------------------------------------------------
     # ``dropout_rng`` enables train-mode rollouts (dropout active, as in the
