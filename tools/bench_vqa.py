@@ -23,6 +23,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--outer", type=int, default=5)
+    ap.add_argument("--k", type=int, default=4,
+                    help="batches scanned per dispatch for the second "
+                         "measurement (amortises per-dispatch overhead — "
+                         "~35 ms through the dev tunnel, ~38%% of a "
+                         "per-batch dispatch at B=256)")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +86,31 @@ def main():
     # QA pairs over ~3 epochs-worth of steps; use eval-rate framing only)
     print(f"vqa_inference: {qps:.1f} questions/sec/chip at B={B} "
           f"({dt / args.outer * 1e3:.0f} ms/batch)")
+
+    # ---- K batches scanned per dispatch (device-capability number) ------
+    K = args.k
+    infer_k = jax.jit(lambda p, bs: jax.lax.scan(
+        lambda _, b: (0, model.apply({"params": p}, b,
+                                     method=VLPModel.vqa_inference)),
+        0, bs)[1])
+
+    def fresh_k(i):
+        b = {k: jnp.broadcast_to(v[None], (K,) + v.shape)
+             for k, v in batch.items()}
+        b["vis_feats"] = jax.random.normal(
+            jax.random.PRNGKey(1000 + i), (K, B, nv, cfg.vis_feat_dim),
+            jnp.float32)
+        return b
+
+    int(np.asarray(infer_k(params, fresh_k(0)))[0, 0])
+    t0 = time.perf_counter()
+    for i in range(args.outer):
+        int(np.asarray(infer_k(params, fresh_k(i + 1)))[0, 0])
+    dt = time.perf_counter() - t0
+    qps_k = B * K * args.outer / dt
+    print(f"vqa_inference scanned: {qps_k:.1f} questions/sec/chip "
+          f"(K={K} batches/dispatch, {dt / (args.outer * K) * 1e3:.0f} "
+          f"ms/batch)")
 
 
 if __name__ == "__main__":

@@ -155,6 +155,20 @@ def main(argv=None):
             f0, p0 = store.get(eval_list[0].feature_key)
             slabs = [(np.empty((B,) + f0.shape, f0.dtype),
                       np.empty((B,) + p0.shape, p0.dtype)) for _ in range(2)]
+
+        def flush(pending):
+            ans_idx = np.asarray(pending[0])  # forces completion
+            for i, ex in enumerate(pending[1]):
+                predictions.append({
+                    "question_id": getattr(ex, "question_id",
+                                           pending[2] + i),
+                    "answer": ans_proc.idx2word(ans_idx[i])})
+
+        # the result fetch trails one batch behind the dispatch, so the
+        # host-side build of batch i+1 overlaps the device's batch i
+        # (per-dispatch latency is ~35 ms through remote runtimes —
+        # cli/train.py's device loop applies the same pattern)
+        pending = None
         for bi, lo in enumerate(range(0, len(eval_list), B)):
             chunk = eval_list[lo:lo + B]
             fs, ps = slabs[bi % 2]
@@ -178,11 +192,12 @@ def main(argv=None):
                      for k in exs[0] if k not in ("vis_feats", "vis_pe")}
             batch["vis_feats"] = jnp.asarray(fs)
             batch["vis_pe"] = jnp.asarray(ps)
-            ans_idx = np.asarray(infer(params, batch))
-            for i, ex in enumerate(chunk):
-                predictions.append({
-                    "question_id": getattr(ex, "question_id", lo + i),
-                    "answer": ans_proc.idx2word(ans_idx[i])})
+            out = infer(params, batch)
+            if pending is not None:
+                flush(pending)
+            pending = (out, chunk, lo)
+        if pending is not None:
+            flush(pending)
 
         os.makedirs(args.output_dir, exist_ok=True)
         tag = os.path.basename(model_recover_path or "random")
