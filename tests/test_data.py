@@ -214,3 +214,63 @@ class TestMaxPredCap:
             got = ex["input_ids"][cfg.prefix_len:cfg.prefix_len + 3]
             assert got.tolist() == [vocab[t] for t in tokens]
             assert ex["masked_pos"].shape == (cfg.max_pred,)
+
+
+class TestIndexCache:
+    def _write_src(self, tmp_path, caption="a man riding a horse"):
+        import json
+        src = {"images": [
+            {"split": "train", "filename": "COCO_train_000000000123.jpg",
+             "filepath": "trainval", "imgid": 1,
+             "sentences": [{"raw": caption}]},
+            {"split": "val", "filename": "COCO_val_000000000456.jpg",
+             "filepath": "trainval", "imgid": 2,
+             "sentences": [{"raw": "the dog runs"}]},
+        ]}
+        p = tmp_path / "dataset_coco.json"
+        p.write_text(json.dumps(src))
+        return str(p)
+
+    def test_cache_roundtrip_and_invalidation(self, tmp_path):
+        import os, time
+        from vlp_tpu.data.dataset import load_karpathy_index
+        tok = BertTokenizer(make_vocab(tmp_path), do_lower_case=True)
+        src = self._write_src(tmp_path)
+        cache = str(tmp_path / "idxcache")
+
+        cold = load_karpathy_index(src, ["train"], tok, cache_dir=cache)
+        files = os.listdir(cache)
+        assert len(files) == 1
+        warm = load_karpathy_index(src, ["train"], tok, cache_dir=cache)
+        assert [(e.feature_key, e.tokens, e.image_id) for e in cold] == \
+               [(e.feature_key, e.tokens, e.image_id) for e in warm]
+        # warm load equals a cache-less build
+        plain = load_karpathy_index(src, ["train"], tok)
+        assert [(e.feature_key, e.tokens) for e in plain] == \
+               [(e.feature_key, e.tokens) for e in warm]
+
+        # different split -> different cache entry
+        load_karpathy_index(src, ["val"], tok, cache_dir=cache)
+        assert len(os.listdir(cache)) == 2
+
+        # editing the source invalidates (mtime+size key)
+        time.sleep(0.01)
+        src2 = self._write_src(tmp_path, caption="the dog runs a lot")
+        assert src2 == src
+        fresh = load_karpathy_index(src, ["train"], tok, cache_dir=cache)
+        assert fresh[0].tokens == tok.tokenize("the dog runs a lot")
+
+    def test_corrupt_cache_rebuilds(self, tmp_path):
+        import os
+        from vlp_tpu.data.dataset import load_karpathy_index, \
+            _index_cache_path
+        tok = BertTokenizer(make_vocab(tmp_path), do_lower_case=True)
+        src = self._write_src(tmp_path)
+        cache = str(tmp_path / "idxcache")
+        os.makedirs(cache)
+        path = _index_cache_path(cache, src, ["train"], tok, "", None, -1,
+                                 "coco")
+        with open(path, "wb") as f:
+            f.write(b"not a pickle")
+        out = load_karpathy_index(src, ["train"], tok, cache_dir=cache)
+        assert out and out[0].tokens

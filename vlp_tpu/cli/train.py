@@ -113,6 +113,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthetic features + captions (smoke/bench)")
     p.add_argument("--steps_per_epoch", type=int, default=0,
                    help="cap steps per epoch (0 = full epoch)")
+    p.add_argument("--index_cache_dir", default="", type=str,
+                   help="cache the TOKENIZED dataset index here "
+                        "(keyed by source mtime+size and vocab hash): "
+                        "skips ~5 min of caption re-tokenization per "
+                        "restart at Conceptual Captions scale")
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--finetune_decay", action="store_true",
                    help="weight-decay toward the recovered initial weights "
@@ -221,7 +226,7 @@ def main(argv=None):
             examples = load_karpathy_index(
                 args.src_file[0], args.split, data_tokenizer,
                 args.image_root, args.file_valid_jpgs, args.use_num_imgs,
-                args.dataset)
+                args.dataset, cache_dir=args.index_cache_dir or None)
 
     builder_kw = dict(
         mask_prob=args.mask_prob, vis_mask_prob=args.vis_mask_prob,

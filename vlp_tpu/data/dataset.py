@@ -27,12 +27,53 @@ class CaptionExample:
     answers: Optional[list] = None
 
 
+def _index_cache_path(cache_dir: str, src_file: str, split: Sequence[str],
+                      tokenizer, image_root: str,
+                      file_valid_jpgs: Optional[str], use_num_imgs: int,
+                      dataset: str) -> str:
+    """Cache key: source file identity (path+mtime+size), tokenizer identity
+    (vocab content + lowercasing), and every argument that shapes the list."""
+    import hashlib
+    st = os.stat(src_file)
+    h = hashlib.sha1()
+    vocab_h = hashlib.sha1(
+        "\n".join(tokenizer.vocab.keys()).encode()).hexdigest()
+    lower = getattr(getattr(tokenizer, "basic_tokenizer", None),
+                    "do_lower_case", None)
+    for part in (os.path.abspath(src_file), st.st_mtime_ns, st.st_size,
+                 tuple(sorted(split)), image_root, file_valid_jpgs or "",
+                 use_num_imgs, dataset, vocab_h, lower):
+        h.update(repr(part).encode())
+    return os.path.join(cache_dir, f"karpathy-{h.hexdigest()[:20]}.pkl")
+
+
 def load_karpathy_index(src_file: str, split: Sequence[str],
                         tokenizer, image_root: str = "",
                         file_valid_jpgs: Optional[str] = None,
                         use_num_imgs: int = -1,
-                        dataset: str = "coco") -> List[CaptionExample]:
-    """One example per (image, sentence) pair, like seq2seq_loader.py:123-140."""
+                        dataset: str = "coco",
+                        cache_dir: Optional[str] = None
+                        ) -> List[CaptionExample]:
+    """One example per (image, sentence) pair, like seq2seq_loader.py:123-140.
+
+    ``cache_dir`` (opt-in) caches the TOKENIZED index: tokenizing ~3M
+    Conceptual Captions sentences costs ~5 min of single-core Python at
+    every restart otherwise.  The key includes the source file's
+    mtime+size and the tokenizer's vocab hash, so edits invalidate it.
+    """
+    cache_path = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_path = _index_cache_path(cache_dir, src_file, split, tokenizer,
+                                       image_root, file_valid_jpgs,
+                                       use_num_imgs, dataset)
+        if os.path.exists(cache_path):
+            import pickle
+            try:
+                with open(cache_path, "rb") as f:
+                    return pickle.load(f)
+            except Exception:
+                pass  # corrupt/partial cache: rebuild
     with open(src_file, "r", encoding="utf-8") as f:
         img_dat = json.load(f)["images"]
     valid = None
@@ -55,6 +96,12 @@ def load_karpathy_index(src_file: str, split: Sequence[str],
             assert len(toks) > 0
             out.append(CaptionExample(key, toks, image_id=image_id))
         counter += 1
+    if cache_path:
+        import pickle
+        tmp = cache_path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(out, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, cache_path)  # atomic: concurrent hosts race safely
     return out
 
 
