@@ -462,11 +462,11 @@ class Decoder:
             if dp.reorder_impl == "onehot":
                 w = jax.nn.one_hot(back_ptrs, K,
                                    dtype=jnp.float32)        # [B, Kn, Ko]
-                gk = tuple(_reorder_cache_onehot(c, w, B, K) for c in gk)
-                gv = tuple(_reorder_cache_onehot(c, w, B, K) for c in gv)
+                reorder = lambda c: _reorder_cache_onehot(c, w, B, K)  # noqa: E731
             else:
-                gk = tuple(_gather_beams(c, back_ptrs, B, K) for c in gk)
-                gv = tuple(_gather_beams(c, back_ptrs, B, K) for c in gv)
+                reorder = lambda c: _gather_beams(c, back_ptrs, B, K)  # noqa: E731
+            gk = tuple(reorder(c) for c in gk)
+            gv = tuple(reorder(c) for c in gv)
             flat = (jnp.arange(B)[:, None] * K
                     + back_ptrs.astype(jnp.int32)).reshape(-1)
             seqs = jnp.take(seqs, flat, axis=1)

@@ -137,6 +137,14 @@ class TransformerLayer(nn.Module):
         B, H, L, D = x.shape
         return x.transpose(0, 2, 1, 3).reshape(B, L, H * D)
 
+    def _attn_seed(self, B: int, rate: float):
+        """Per-example int32 seeds for the kernel's on-chip PRNG dropout
+        (None when dropout is off)."""
+        if rate <= 0.0:
+            return None
+        return jax.random.randint(self.make_rng("dropout"), (B,), 0,
+                                  2 ** 31 - 1)
+
     def _post_attention(self, ctx: Array, residual: Array,
                         deterministic: bool) -> Array:
         h = self.out_proj(ctx)
@@ -187,13 +195,10 @@ class TransformerLayer(nn.Module):
                 q = self.q_proj(x).reshape(B, L, *hd)
                 k = self.k_proj(x).reshape(B, L, *hd)
                 v = self.v_proj(x).reshape(B, L, *hd)
-            seed = None
-            if rate > 0.0:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (x.shape[0],), 0, 2 ** 31 - 1)
             ctx = attn_ops.attention_pallas(
                 q, k, v, mode, text_end, colkeep, prefix=cfg.prefix_len,
-                dropout_rate=rate, dropout_seed=seed, layout="blhd")
+                dropout_rate=rate,
+                dropout_seed=self._attn_seed(B, rate), layout="blhd")
             ctx = ctx.reshape(B, L, cfg.hidden_size)
         else:
             q = self._heads(self.q_proj(x))
@@ -225,17 +230,14 @@ class TransformerLayer(nn.Module):
         # kernel serves prefill too (in the blhd layout: no head transpose).
         if cfg.use_pallas_attention:
             hd = (cfg.num_attention_heads, cfg.head_dim)
-            seed = None
-            if rate > 0.0:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (B,), 0, 2 ** 31 - 1)
             ctx = attn_ops.attention_pallas(
                 qc.reshape(B, L, *hd), kc.reshape(B, L, *hd),
                 vc.reshape(B, L, *hd),
                 jnp.full((B,), MODE_S2S, jnp.int32),
                 jnp.full((B,), L, jnp.int32),
                 jnp.ones((B, L), jnp.float32), prefix=prefix,
-                dropout_rate=rate, dropout_seed=seed, layout="blhd")
+                dropout_rate=rate,
+                dropout_seed=self._attn_seed(B, rate), layout="blhd")
             ctx = ctx.reshape(B, L, cfg.hidden_size)
         else:
             q, k, v = (self._heads(c) for c in (qc, kc, vc))  # [B,Hh,L,D]
