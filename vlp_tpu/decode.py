@@ -179,7 +179,7 @@ class Decoder:
             axis 0)."""
             if mesh is None:
                 return jax.jit(f)
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec
 
             def spec(axis):
@@ -206,7 +206,7 @@ class Decoder:
                     is_leaf=lambda x: isinstance(x, int))
                 return shard_map(per_shard, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs,
-                                 check_rep=False)(params, batch, *rest)
+                                 check_vma=False)(params, batch, *rest)
 
             return jax.jit(sharded)
 
