@@ -33,7 +33,9 @@
 // all three versions transparently.
 //
 // Exposed C ABI (consumed from Python via ctypes):
-//   vlps_abi        — ABI level (stale-.so probe for the Python binding)
+//   vlps_abi        — ABI level (stale-.so probe for the Python binding;
+//     4 = vlps_prefetch available)
+//   vlps_prefetch   — madvise(WILLNEED) readahead for a batch of records
 //   vlps_open / vlps_close / vlps_meta / vlps_find
 //   vlps_get        — copy one record's raw arrays (fp32 out, converts);
 //     v3 files fail it when cls/bbox are requested (not stored)
@@ -345,7 +347,28 @@ extern "C" {
 
 // ABI level: the Python binding probes this to detect a stale prebuilt .so
 // (3 = v3 precomputed-featurization files supported).
-int vlps_abi(void) { return 3; }
+int vlps_abi(void) { return 4; }
+
+// Advise the kernel to read the given records ahead (posix_madvise
+// WILLNEED on each record's span).  Production stores are TB-scale and
+// disk-backed; issuing this for batch i+1 before gathering batch i lets
+// the page cache fill during the current gather+build instead of
+// faulting inside it.  Unknown indices (-1) are skipped; returns 0.
+int vlps_prefetch(void* handle, const int64_t* indices, int n) {
+  auto* s = static_cast<Store*>(handle);
+  const size_t page = static_cast<size_t>(sysconf(_SC_PAGESIZE));
+  for (int j = 0; j < n; ++j) {
+    const int64_t i = indices[j];
+    if (i < 0 || static_cast<uint64_t>(i) >= s->hdr.n_records) continue;
+    const uint8_t* r = record_ptr(s, i);
+    // madvise needs a page-aligned start
+    auto addr = reinterpret_cast<uintptr_t>(r);
+    const uintptr_t aligned = addr & ~(page - 1);
+    posix_madvise(reinterpret_cast<void*>(aligned),
+                  s->record_bytes + (addr - aligned), POSIX_MADV_WILLNEED);
+  }
+  return 0;
+}
 
 void* vlps_open(const char* path) {
   int fd = ::open(path, O_RDONLY);

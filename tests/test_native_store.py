@@ -393,3 +393,19 @@ def test_evalloader_batched_gather_matches_fresh(packed, packed_pe):
             assert gp == fp
             for k2 in fb:
                 np.testing.assert_array_equal(gb[k2], fb[k2], err_msg=k2)
+
+
+def test_prefetch_noop_semantics(packed16):
+    """prefetch is advisory: issuing it (incl. unknown keys) must not
+    change subsequent gathers."""
+    path, keys, records = packed16
+    store = native.PackedFeatureStore(path, n_threads=2)
+    fb = np.empty((3, store.n_regions, store.feat_dim), np.float16)
+    pb = np.empty((3, store.n_regions, store.pe_dim), np.float16)
+    store.gather_into(keys[:3], fb, pb)
+    base_f, base_p = fb.copy(), pb.copy()
+    store.prefetch(keys[:3] + ["no_such_key"])
+    store.prefetch([])
+    store.gather_into(keys[:3], fb, pb)
+    np.testing.assert_array_equal(fb, base_f)
+    np.testing.assert_array_equal(pb, base_p)

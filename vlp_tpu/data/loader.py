@@ -182,9 +182,23 @@ class TrainLoader:
         batched_gather = (slabs is not None
                           and hasattr(self.store, "gather_into"))
 
+        can_prefetch = hasattr(self.store, "prefetch")
+
+        def _keys(b):
+            lo = b * self.batch_size
+            return [self.examples[int(i)].feature_key
+                    for i in idx[lo:lo + self.batch_size]]
+
         def _produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
+                if can_prefetch and nb > start_batch:
+                    self.store.prefetch(_keys(start_batch))
                 for b in range(start_batch, nb):
+                    if can_prefetch and b + 1 < nb:
+                        # advisory readahead for the NEXT batch: on
+                        # disk-backed stores the page cache fills while
+                        # this batch gathers/builds (madvise WILLNEED)
+                        self.store.prefetch(_keys(b + 1))
                     lo = b * self.batch_size
                     chunk = idx[lo:lo + self.batch_size]
                     pairs = [(j, int(i), self._example_seed(epoch, lo + j))

@@ -47,7 +47,7 @@ def _load_lib(build: bool = True):
     # AttributeError.  (make replaces the file, so the reload maps the new
     # inode rather than the already-open image.)
     def _stale(l):
-        return (not hasattr(l, "vlps_abi")) or l.vlps_abi() < 3
+        return (not hasattr(l, "vlps_abi")) or l.vlps_abi() < 4
 
     if _stale(lib):
         if build:
@@ -55,7 +55,7 @@ def _load_lib(build: bool = True):
             lib = ctypes.CDLL(path)
         if _stale(lib):
             raise OSError(
-                f"{path} is stale (vlps_abi < 3); "
+                f"{path} is stale (vlps_abi < 4); "
                 "rebuild with `make -C native` and restart")
     lib.vlps_open.restype = ctypes.c_void_p
     lib.vlps_open.argtypes = [ctypes.c_char_p]
@@ -80,6 +80,8 @@ def _load_lib(build: bool = True):
     lib.vlps_batch_featurize16.argtypes = [ctypes.c_void_p, i64p,
                                            ctypes.c_int, u16p, u16p,
                                            ctypes.c_int]
+    lib.vlps_prefetch.restype = ctypes.c_int
+    lib.vlps_prefetch.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int]
     return lib
 
 
@@ -266,6 +268,20 @@ class PackedFeatureStore:
                                   pe_batch.reshape(n, -1))
         if rc != 0:
             raise RuntimeError("vlps_batch_featurize failed")
+
+    def prefetch(self, keys: Sequence[str]) -> None:
+        """Advise the kernel to read the records ahead (madvise WILLNEED).
+
+        For disk-backed production stores (TB-scale at Conceptual Captions
+        size), call this with batch i+1's keys before gathering batch i:
+        the page cache fills during the current gather+build instead of
+        faulting inside the next one.  Unknown keys are ignored (cheap
+        advisory semantics); a warm page cache makes this a no-op."""
+        n = len(keys)
+        if n == 0:
+            return
+        idx = np.fromiter((self.find(k) for k in keys), np.int64, count=n)
+        self.lib.vlps_prefetch(self.handle, idx, n)
 
     def raw(self, key: str):
         """(feat, cls, bbox) raw arrays — for repacking/debugging.
