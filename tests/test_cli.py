@@ -57,6 +57,22 @@ class TestTrainCLI:
         log = open(os.path.join(out, "training.log")).read()
         assert "Recover model: 2" in log
 
+    def test_train_data_parallel_mesh(self, fixtures):
+        """With multiple visible devices and a divisible batch, the CLI
+        trains under shard_map (batch sharded over 'data', params
+        replicated, Pallas-compatible) — both the per-step path and the
+        K-step device loop."""
+        for tag, extra in (("dp_step", []),
+                           ("dp_loop", ["--device_loop_steps", "2"])):
+            out = os.path.join(fixtures["dir"], f"out_{tag}")
+            train_cli.main(base_train_args(
+                fixtures, out, ["--num_train_epochs", "1",
+                                "--train_batch_size", "8",
+                                "--steps_per_epoch", "2", *extra]))
+            assert os.path.isdir(os.path.join(out, "model.1"))
+            log = open(os.path.join(out, "training.log")).read()
+            assert "data-parallel training over 8 devices" in log, tag
+
     def test_optimizer_flags_plumbed(self, fixtures, monkeypatch):
         """--weight_decay/--learning_rate/--sche_mode must reach the
         constructed optimizer (weight_decay used to be silently dropped on

@@ -351,7 +351,30 @@ def main(argv=None):
             schedule=args.sche_mode, weight_decay=args.weight_decay)
 
     # ---- training --------------------------------------------------------
+    # Data-parallel over all LOCAL chips via shard_map (params replicated,
+    # batch sharded, grads pmean'd on ICI, Pallas attention per shard —
+    # GSPMD cannot auto-partition Mosaic custom calls).  The global batch
+    # stays args.train_batch_size, split across chips, matching the
+    # reference's DDP semantics of one data shard per GPU.
+    mesh = None
+    n_dev = len(jax.devices())
+    if (n_dev > 1 and not args.scst
+            and args.gradient_accumulation_steps <= 1
+            and args.train_batch_size % n_dev == 0):
+        from jax.sharding import NamedSharding, PartitionSpec
+        from vlp_tpu.parallel import pjit_step
+        from vlp_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=n_dev, model=1)
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+        logger.info("data-parallel training over %d devices (shard_map)",
+                    n_dev)
+    elif n_dev > 1:
+        logger.warning(
+            "%d devices visible but running single-device (scst, grad "
+            "accumulation, or batch %% devices != 0)", n_dev)
+
     scst_trainer = None
+    multi_fn = step_fn = None
     if args.scst:
         from vlp_tpu.scst import SCSTTrainer
         sp = tokenizer.vocab
@@ -359,13 +382,24 @@ def main(argv=None):
             model, cfg, mask_id=sp["[MASK]"], eos_id=sp["[SEP]"],
             pad_id=sp["[PAD]"], max_tgt_length=cfg.max_len_b, tx=tx)
     elif args.device_loop_steps > 1:
-        multi_fn = jax.jit(ts.make_multi_step(
-            model, tx, mask_image_regions=args.mask_image_regions,
-            task=args.tasks), donate_argnums=(0,))
+        if mesh is not None:
+            multi_make = pjit_step.make_shard_map_multi_step(
+                model, tx, mesh,
+                mask_image_regions=args.mask_image_regions, task=args.tasks)
+        else:
+            multi_fn = jax.jit(ts.make_multi_step(
+                model, tx, mask_image_regions=args.mask_image_regions,
+                task=args.tasks), donate_argnums=(0,))
     else:
-        step_fn = jax.jit(ts.make_train_step(
-            model, tx, mask_image_regions=args.mask_image_regions,
-            task=args.tasks, grad_accum=args.gradient_accumulation_steps))
+        if mesh is not None:
+            step_make = pjit_step.make_shard_map_step(
+                model, tx, mesh,
+                mask_image_regions=args.mask_image_regions, task=args.tasks)
+        else:
+            step_fn = jax.jit(ts.make_train_step(
+                model, tx, mask_image_regions=args.mask_image_regions,
+                task=args.tasks,
+                grad_accum=args.gradient_accumulation_steps))
 
     if args.do_train:
         logger.info("***** Running training *****")
@@ -432,13 +466,21 @@ def main(argv=None):
                     stack_pool[slot] = ts.stack_batches(
                         pending, out=stack_pool[slot],
                         skip=("vis_feats", "vis_pe"))
-                    stacked = {k2: jnp.asarray(v)
-                               for k2, v in stack_pool[slot].items()}
                     # the feature halves were written by the loader straight
                     # into these [K, B, ...] buffers (feature_slabs views)
                     s = grp % len(stack_feat)
-                    stacked["vis_feats"] = jnp.asarray(stack_feat[s])
-                    stacked["vis_pe"] = jnp.asarray(stack_pe[s])
+                    if mesh is not None:
+                        host = dict(stack_pool[slot])
+                        host["vis_feats"] = stack_feat[s]
+                        host["vis_pe"] = stack_pe[s]
+                        stacked = pjit_step.shard_stacked_batch(host, mesh)
+                        if multi_fn is None:
+                            multi_fn = multi_make(state, stacked)
+                    else:
+                        stacked = {k2: jnp.asarray(v)
+                                   for k2, v in stack_pool[slot].items()}
+                        stacked["vis_feats"] = jnp.asarray(stack_feat[s])
+                        stacked["vis_pe"] = jnp.asarray(stack_pe[s])
                     pending = []
                     rng = jax.random.fold_in(global_rng,
                                              i_epoch * 100000 + step_i)
@@ -451,7 +493,12 @@ def main(argv=None):
                     maybe_save_steps(i_epoch, step_i, state)
                     continue
                 rng = jax.random.fold_in(global_rng, i_epoch * 100000 + step_i)
-                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if mesh is not None and not args.scst:
+                    jbatch = pjit_step.shard_batch(batch, mesh)
+                    if step_fn is None:
+                        step_fn = step_make(state, jbatch)
+                else:
+                    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
                 if args.scst:
                     prefix = cfg.prefix_len
                     dec_batch = _scst_decode_batch(jbatch, cfg)

@@ -74,6 +74,70 @@ def make_pjit_train_step(model: VLPModel, tx: optax.GradientTransformation,
     return make
 
 
+def make_shard_map_multi_step(model: VLPModel,
+                              tx: optax.GradientTransformation, mesh: Mesh,
+                              *, mask_image_regions: bool = False,
+                              task: str = "img2txt"):
+    """Device-loop analogue of ``make_shard_map_step``: K optimizer steps
+    scanned per dispatch (train_step.make_multi_step) with the batch dim
+    sharded over the mesh's ``data`` axis and grads pmean'd on ICI each
+    step.  Params/optimizer replicated; Pallas attention runs per shard.
+    Returns ``make(state, stacked_batch) -> fn`` like the single-step
+    factory; ``stacked_batch`` is ``[K, B_global, ...]``.
+    """
+    from jax import shard_map
+
+    def local_multi(state, stacked, rng, ratio):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+        def body(st, xs):
+            batch, i = xs
+            (loss, metrics), grads = jax.value_and_grad(
+                functools.partial(ts.loss_fn, model, task=task,
+                                  mask_image_regions=mask_image_regions,
+                                  drop_worst_ratio=ratio),
+                has_aux=True)(st.params, batch, jax.random.fold_in(rng, i))
+            grads = jax.lax.pmean(grads, "data")
+            metrics = jax.lax.pmean(metrics, "data")
+            updates, new_opt = tx.update(grads, st.opt_state, st.params)
+            return ts.TrainState(optax.apply_updates(st.params, updates),
+                                 new_opt, st.step + 1), metrics
+
+        K = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        return jax.lax.scan(body, state, (stacked, jax.numpy.arange(K)))
+
+    rep = P()
+
+    def make(state, stacked):
+        one_batch = jax.tree_util.tree_map(lambda x: x[0], stacked)
+        _, metrics_tree = jax.eval_shape(
+            functools.partial(ts.loss_fn, model, task=task,
+                              mask_image_regions=mask_image_regions,
+                              drop_worst_ratio=0.0),
+            state.params, one_batch, jax.random.PRNGKey(0))
+        fn = shard_map(
+            local_multi, mesh=mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: rep, state),
+                      jax.tree_util.tree_map(
+                          lambda x: P(None, "data",
+                                      *([None] * (x.ndim - 2))), stacked),
+                      rep, rep),
+            out_specs=(jax.tree_util.tree_map(lambda _: rep, state),
+                       jax.tree_util.tree_map(lambda _: rep, metrics_tree)),
+            check_vma=False)
+        return jax.jit(fn, donate_argnums=(0,))
+
+    return make
+
+
+def shard_stacked_batch(stacked, mesh: Mesh):
+    """Place a ``[K, B, ...]`` stacked batch with B sharded over 'data'."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(None, "data",
+                                     *([None] * (x.ndim - 2))))), stacked)
+
+
 def make_shard_map_step(model: VLPModel, tx: optax.GradientTransformation,
                         mesh: Mesh, *, mask_image_regions: bool = False,
                         task: str = "img2txt"):
