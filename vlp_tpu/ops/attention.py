@@ -131,7 +131,9 @@ def _fwd_kernel_blhd(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref,
     blk = pl.program_id(0)
     for e in range(E):
         b = blk * E + e
-        rows = slice(e * L, (e + 1) * L)
+        # E == 1 keeps the exact original full-block indexing (the form
+        # long-validated on hardware); row slices only appear for E > 1
+        rows = slice(None) if E == 1 else slice(e * L, (e + 1) * L)
         bias = _mask_bias(mode_ref[b], te_ref[b], colkeep_ref[b, :],
                           prefix, L)
         if drop_rate > 0.0:
@@ -202,7 +204,7 @@ def _bwd_kernel_blhd(mode_ref, te_ref, seed_ref, q_ref, k_ref, v_ref,
     blk = pl.program_id(0)
     for e in range(E):
         b = blk * E + e
-        rows = slice(e * L, (e + 1) * L)
+        rows = slice(None) if E == 1 else slice(e * L, (e + 1) * L)
         bias = _mask_bias(mode_ref[b], te_ref[b], colkeep_ref[b, :],
                           prefix, L)
         if drop_rate > 0.0:
