@@ -57,6 +57,25 @@ class TestTrainCLI:
         log = open(os.path.join(out, "training.log")).read()
         assert "Recover model: 2" in log
 
+    def test_true_fp16_train_and_resume(self, fixtures):
+        """--true_fp16 trains with fp16 activations + loss scaling; the
+        scale state round-trips through optim.N on resume."""
+        out = os.path.join(fixtures["dir"], "out_fp16")
+        state = train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "1", "--true_fp16",
+                            "--loss_scale", "4"]))
+        assert state.loss_scale is not None
+        assert float(state.loss_scale["scale"]) == 4.0  # static
+        log = open(os.path.join(out, "training.log")).read()
+        assert "true-fp16: fp16 activations + static 4 loss scaling" in log
+        state2 = train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "2", "--true_fp16",
+                            "--loss_scale", "4"]))
+        assert "Recover model: 1" in open(
+            os.path.join(out, "training.log")).read()
+        assert int(state2.step) == 4
+        assert float(state2.loss_scale["scale"]) == 4.0
+
     def test_train_data_parallel_mesh(self, fixtures):
         """With multiple visible devices and a divisible batch, the CLI
         trains under shard_map (batch sharded over 'data', params

@@ -22,7 +22,6 @@ EXEMPT = {
     "--local_rank",       # NCCL process mechanics; mesh-derived on TPU
     "--global_rank",      # ditto (jax.process_index)
     "--dist_url",         # file:// NCCL rendezvous; --jax_distributed instead
-    "--loss_scale",       # apex static loss scale; bf16 needs none
     "--amp",              # apex amp
     "--enable_visdom",    # visdom plots -> metrics.jsonl + plot_metrics.py
     "--visdom_port",      # ditto

@@ -168,6 +168,16 @@ class TestLossScale:
         st = ls.update(st, fin)
         assert float(st["scale"]) == 8.0
 
+    def test_static_never_adjusts(self):
+        ls = optim_lib.DynamicLossScale(init_scale=128.0, growth_interval=1,
+                                        static=True)
+        st = ls.init()
+        st = ls.update(st, jnp.bool_(False))
+        assert float(st["scale"]) == 128.0
+        st = ls.update(st, jnp.bool_(True))
+        st = ls.update(st, jnp.bool_(True))
+        assert float(st["scale"]) == 128.0
+
     def test_scale_unscale_roundtrip(self):
         ls = optim_lib.DynamicLossScale(init_scale=32.0)
         st = ls.init()
@@ -175,6 +185,65 @@ class TestLossScale:
         g, finite = ls.unscale_and_check({"w": jnp.asarray([64.0])}, st)
         assert bool(finite)
         np.testing.assert_allclose(np.asarray(g["w"]), [2.0])
+
+
+class TestTrueFp16TrainStep:
+    """The --true_fp16 path: make_train_step(loss_scale=...) scales the loss
+    before backward, unscales grads, skips the whole update on overflow."""
+
+    def _setup(self, rng):
+        from tests.test_model import make_batch, tiny_cfg
+        from vlp_tpu.parallel import train_step as ts
+        cfg = tiny_cfg()
+        model = ts.create_model(cfg)
+        state, tx = ts.create_train_state(
+            model, cfg, jax.random.PRNGKey(0), lr=1e-3, warmup=0.1,
+            t_total=100)
+        batch = make_batch(cfg, 4, rng)
+        return ts, model, tx, state, batch
+
+    def test_scaled_step_matches_plain(self, rng):
+        # a power-of-two scale is exact in fp32: the scaled path must land on
+        # bit-identical parameters to the unscaled path
+        ts, model, tx, state, batch = self._setup(rng)
+        ls = optim_lib.DynamicLossScale(init_scale=8.0, growth_interval=3)
+        scaled = jax.jit(ts.make_train_step(model, tx, loss_scale=ls))
+        plain = jax.jit(ts.make_train_step(model, tx))
+        st_s, m_s = scaled(state._replace(loss_scale=ls.init()), batch,
+                           jax.random.PRNGKey(1), 0.0)
+        st_p, m_p = plain(state, batch, jax.random.PRNGKey(1), 0.0)
+        assert float(m_s["skipped_step"]) == 0.0
+        assert float(m_s["loss_scale"]) == 8.0
+        assert int(st_s.loss_scale["good_steps"]) == 1
+        np.testing.assert_allclose(float(m_s["loss"]), float(m_p["loss"]),
+                                   rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7),
+            st_s.params, st_p.params)
+
+    def test_overflow_skips_update_and_halves(self, rng):
+        ts, model, tx, state, batch = self._setup(rng)
+        ls = optim_lib.DynamicLossScale(init_scale=8.0)
+        scaled = jax.jit(ts.make_train_step(model, tx, loss_scale=ls))
+        # an inf feature poisons the loss -> non-finite grads -> skipped
+        # update + halved scale (apex FP16_Optimizer overflow handling)
+        bad = dict(batch, vis_feats=jnp.asarray(
+            batch["vis_feats"]).at[0, 0, 0].set(jnp.inf))
+        blown = state._replace(loss_scale={"scale": jnp.float32(8.0),
+                                           "good_steps": jnp.int32(5)})
+        st, m = scaled(blown, bad, jax.random.PRNGKey(1), 0.0)
+        assert float(m["skipped_step"]) == 1.0
+        assert float(st.loss_scale["scale"]) == 4.0
+        assert int(st.loss_scale["good_steps"]) == 0
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            st.params, state.params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            st.opt_state.m, state.opt_state.m)
 
 
 class TestCachedPath:

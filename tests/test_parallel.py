@@ -198,6 +198,33 @@ class TestDataParallelDecode:
 
 
 class TestDeviceLoopMultiChip:
+    def test_multi_step_under_shard_map(self, setup, rng):
+        """make_shard_map_multi_step (the train CLI's meshed device loop,
+        Pallas-compatible) tracks the single-device K-step trajectory."""
+        cfg, model, state, tx = setup
+        mesh = mesh_lib.make_mesh(data=8, model=1)
+        K = 2
+        batches = [make_batch(cfg, 16, rng) for _ in range(K)]
+        stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+
+        single = jax.jit(ts.make_multi_step(model, tx))
+        s1, m1 = single(state, stacked, jax.random.PRNGKey(9), 0.0)
+
+        sharded = pjit_step.shard_stacked_batch(stacked, mesh)
+        fn = pjit_step.make_shard_map_multi_step(model, tx, mesh)(
+            state, sharded)
+        # the device-loop factory donates its state arg (CLI consumes it);
+        # feed a copy so the module-scoped fixture stays alive
+        s_in = jax.tree_util.tree_map(jnp.array, state)
+        s2, m2 = fn(s_in, sharded, jax.random.PRNGKey(9), 0.0)
+
+        assert m2["loss"].shape == (K,)
+        assert np.isfinite(np.asarray(m2["loss"])).all()
+        # dropout rng is folded per shard, so trajectories differ slightly
+        np.testing.assert_allclose(np.asarray(m2["loss"]),
+                                   np.asarray(m1["loss"]), atol=1.0)
+        assert int(s2.step) == int(s1.step) == K
+
     def test_multi_step_under_gspmd(self, setup, rng):
         """The production shape: K-step device loop with the batch dim
         sharded over the data axis."""

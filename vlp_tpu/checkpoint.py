@@ -334,9 +334,13 @@ def save_checkpoint(output_dir: str, epoch: int, state, keep_optimizer=True,
     ckptr.save(path, jax_tree_to_numpy(state.params), force=True)
     if keep_optimizer:
         opath = os.path.abspath(os.path.join(output_dir, f"optim.{epoch}"))
-        ckptr.save(opath, jax_tree_to_numpy(
-            {"m": state.opt_state.m, "v": state.opt_state.v,
-             "step": state.opt_state.step}), force=True)
+        opt_tree = {"m": state.opt_state.m, "v": state.opt_state.v,
+                    "step": state.opt_state.step}
+        if getattr(state, "loss_scale", None) is not None:
+            # true-fp16 runs persist the dynamic-loss-scale state, like the
+            # reference FP16_Optimizer_State (optimization_fp16.py:17-80)
+            opt_tree["loss_scale"] = state.loss_scale
+        ckptr.save(opath, jax_tree_to_numpy(opt_tree), force=True)
     if wait:
         ckptr.wait_until_finished()
 
@@ -395,12 +399,15 @@ def restore_params(path: str, params_template):
                          jax_tree_to_numpy(params_template))
 
 
-def restore_optimizer(path: str, opt_template):
+def restore_optimizer(path: str, opt_template, loss_scale_template=None):
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     tpl = {"m": jax_tree_to_numpy(opt_template.m),
            "v": jax_tree_to_numpy(opt_template.v),
            "step": np.asarray(opt_template.step)}
+    if loss_scale_template is not None:
+        # true-fp16 runs also round-trip the dynamic-loss-scale state
+        tpl["loss_scale"] = jax_tree_to_numpy(loss_scale_template)
     return ckptr.restore(os.path.abspath(path), tpl)
 
 

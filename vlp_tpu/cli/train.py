@@ -61,6 +61,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--fp16", action="store_true",
                    help="bf16 activations on TPU (fp32 otherwise)")
+    p.add_argument("--true_fp16", action="store_true",
+                   help="fp16 activations + dynamic loss scaling (the "
+                        "reference FP16_Optimizer_State path, "
+                        "optimization_fp16.py:7-80). TPUs have no fp16 "
+                        "hardware path, so this exists for numerical-parity "
+                        "experiments; production mixed precision is "
+                        "--fp16 (bf16, no scaling needed)")
+    p.add_argument("--loss_scale", type=float, default=0,
+                   help="with --true_fp16: 0 = dynamic loss scaling, >0 = "
+                        "static scale (run_img2txt_dist.py:119,415-420); "
+                        "ignored on the bf16/fp32 paths")
     p.add_argument("--fp32_embedding", action="store_true",
                    help="no-op, covered by design: params (incl. embedding "
                         "tables) and LN/softmax stay fp32 always; only "
@@ -154,8 +165,12 @@ def make_config(args, vocab_size: int) -> VLPConfig:
         len_vis_input=args.len_vis_input,
         max_len_b=args.max_len_b,
         max_pred=args.max_pred,
-        dtype="bfloat16" if (args.fp16 or on_tpu) else "float32",
-        use_pallas_attention=(on_tpu and not args.no_pallas),
+        dtype=("float16" if getattr(args, "true_fp16", False)
+               else "bfloat16" if (args.fp16 or on_tpu) else "float32"),
+        # the Pallas kernels are validated for bf16/fp32; the fp16 parity
+        # path rides XLA attention
+        use_pallas_attention=(on_tpu and not args.no_pallas
+                              and not getattr(args, "true_fp16", False)),
     )
     if args.max_position_embeddings:
         cfg = cfg.replace(max_position_embeddings=args.max_position_embeddings)
@@ -272,6 +287,19 @@ def main(argv=None):
         warmup=args.warmup_proportion, t_total=t_total,
         schedule=args.sche_mode, weight_decay=args.weight_decay,
         task=args.tasks)
+    loss_scale = None
+    if args.true_fp16:
+        if args.scst:
+            raise ValueError("--true_fp16 is not supported with --scst "
+                             "(use the default bf16 path)")
+        loss_scale = (optim_lib.DynamicLossScale()
+                      if args.loss_scale == 0 else
+                      optim_lib.DynamicLossScale(init_scale=args.loss_scale,
+                                                 static=True))
+        state = state._replace(loss_scale=loss_scale.init())
+        logger.info("true-fp16: fp16 activations + %s loss scaling",
+                    "dynamic" if args.loss_scale == 0
+                    else f"static {args.loss_scale:g}")
     metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
 
     recover_step = ckpt.get_max_epoch_model(args.output_dir)
@@ -295,12 +323,17 @@ def main(argv=None):
         params = ckpt.restore_params(
             os.path.join(args.output_dir, f"model.{tag}"), state.params)
         opt = ckpt.restore_optimizer(
-            os.path.join(args.output_dir, f"optim.{tag}"), state.opt_state)
-        return state._replace(
+            os.path.join(args.output_dir, f"optim.{tag}"), state.opt_state,
+            loss_scale_template=state.loss_scale)
+        new = state._replace(
             params=params,
             opt_state=state.opt_state._replace(
                 m=opt["m"], v=opt["v"], step=jnp.asarray(opt["step"])),
             step=jnp.asarray(opt["step"]))
+        if state.loss_scale is not None:
+            new = new._replace(loss_scale=jax.tree_util.tree_map(
+                jnp.asarray, opt["loss_scale"]))
+        return new
 
     if recover_gstep and recover_gstep > (recover_step or 0) * steps_per_epoch:
         # mid-epoch step checkpoint is newer than any epoch checkpoint:
@@ -358,7 +391,7 @@ def main(argv=None):
     # reference's DDP semantics of one data shard per GPU.
     mesh = None
     n_dev = len(jax.devices())
-    if (n_dev > 1 and not args.scst
+    if (n_dev > 1 and not args.scst and not args.true_fp16
             and args.gradient_accumulation_steps <= 1
             and args.train_batch_size % n_dev == 0):
         from jax.sharding import NamedSharding, PartitionSpec
@@ -370,8 +403,8 @@ def main(argv=None):
                     n_dev)
     elif n_dev > 1:
         logger.warning(
-            "%d devices visible but running single-device (scst, grad "
-            "accumulation, or batch %% devices != 0)", n_dev)
+            "%d devices visible but running single-device (scst, true_fp16, "
+            "grad accumulation, or batch %% devices != 0)", n_dev)
 
     scst_trainer = None
     multi_fn = step_fn = None
@@ -389,7 +422,8 @@ def main(argv=None):
         else:
             multi_fn = jax.jit(ts.make_multi_step(
                 model, tx, mask_image_regions=args.mask_image_regions,
-                task=args.tasks), donate_argnums=(0,))
+                task=args.tasks, loss_scale=loss_scale),
+                donate_argnums=(0,))
     else:
         if mesh is not None:
             step_make = pjit_step.make_shard_map_step(
@@ -398,7 +432,7 @@ def main(argv=None):
         else:
             step_fn = jax.jit(ts.make_train_step(
                 model, tx, mask_image_regions=args.mask_image_regions,
-                task=args.tasks,
+                task=args.tasks, loss_scale=loss_scale,
                 grad_accum=args.gradient_accumulation_steps))
 
     if args.do_train:

@@ -223,13 +223,19 @@ class DynamicLossScale:
     provided for numerical parity experiments with fp16-like dtypes:
     scale the loss, unscale grads, skip the update on non-finite grads and
     halve the scale; double it after ``growth_interval`` good steps.
+
+    ``static=True`` freezes the scale at ``init_scale`` (apex
+    ``static_loss_scale``, run_img2txt_dist.py:419-420): overflow still
+    skips the update, but the scale never halves or grows.
     """
 
     def __init__(self, init_scale: float = 2.0 ** 15,
-                 growth_interval: int = 2000, factor: float = 2.0):
+                 growth_interval: int = 2000, factor: float = 2.0,
+                 static: bool = False):
         self.init_scale = init_scale
         self.growth_interval = growth_interval
         self.factor = factor
+        self.static = static
 
     def init(self):
         return {"scale": jnp.float32(self.init_scale),
@@ -248,6 +254,8 @@ class DynamicLossScale:
         return grads, finite
 
     def update(self, state, finite):
+        if self.static:
+            return state
         scale = jnp.where(finite, state["scale"], state["scale"] / self.factor)
         good = jnp.where(finite, state["good_steps"] + 1, 0)
         grow = good >= self.growth_interval

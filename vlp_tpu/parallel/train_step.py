@@ -25,6 +25,9 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # DynamicLossScale state on the true-fp16 path (optimization_fp16.py:7-80
+    # capability); None on the default bf16 path.
+    loss_scale: Any = None
 
 
 def fast_prng_key(seed: int, *, fast: bool = None):
@@ -109,29 +112,73 @@ def loss_fn(model: VLPModel, params, batch, dropout_rng, *,
     return out["loss"], out
 
 
+def _scaled_grads(model, params, batch, rng, *, drop_worst_ratio,
+                  mask_image_regions, task, scale=None):
+    """value_and_grad of ``loss_fn`` with the loss multiplied by ``scale``
+    (true-fp16 dynamic loss scaling) when given.  Metrics stay unscaled."""
+
+    def scaled(params, batch, rng):
+        loss, metrics = loss_fn(model, params, batch, rng,
+                                drop_worst_ratio=drop_worst_ratio,
+                                mask_image_regions=mask_image_regions,
+                                task=task)
+        if scale is not None:
+            loss = loss * scale
+        return loss, metrics
+
+    (_, metrics), grads = jax.value_and_grad(
+        scaled, has_aux=True)(params, batch, rng)
+    return grads, metrics
+
+
+def _apply_grads(tx, loss_scale, state: TrainState, grads, metrics):
+    """Optimizer update with optional dynamic-loss-scale bookkeeping: unscale
+    grads, skip the whole update (params AND optimizer moments, like apex's
+    FP16_Optimizer) when any grad is non-finite, halve/grow the scale."""
+    if loss_scale is None:
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return TrainState(optax.apply_updates(state.params, updates),
+                          new_opt, state.step + 1,
+                          state.loss_scale), metrics
+    grads, finite = loss_scale.unscale_and_check(grads, state.loss_scale)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    updates = loss_scale.apply_or_skip(finite, updates)
+    new_opt = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(finite, n, o), new_opt, state.opt_state)
+    new_ls = loss_scale.update(state.loss_scale, finite)
+    metrics = dict(metrics, loss_scale=new_ls["scale"],
+                   skipped_step=1.0 - finite.astype(jnp.float32))
+    return TrainState(optax.apply_updates(state.params, updates), new_opt,
+                      state.step + 1, new_ls), metrics
+
+
 def make_train_step(model: VLPModel, tx: optax.GradientTransformation, *,
                     mask_image_regions: bool = False, task: str = "img2txt",
-                    grad_accum: int = 1):
+                    grad_accum: int = 1, loss_scale=None):
     """Returns train_step(state, batch, rng, drop_worst_ratio) -> (state, metrics).
 
     With grad_accum > 1 the batch's leading dim must be
     ``grad_accum * micro_batch`` and is scanned in micro-batches (gradients
     averaged, matching loss/accum normalisation at run_img2txt_dist.py:567-568).
+
+    ``loss_scale`` (an ``optim.DynamicLossScale``) enables the true-fp16
+    path: the loss is scaled before backward, grads unscaled, and the update
+    skipped + scale halved on overflow (optimization_fp16.py:7-80 semantics);
+    ``state.loss_scale`` must then hold ``loss_scale.init()``.
     """
 
-    def single_grads(params, batch, rng, drop_worst_ratio):
-        (loss, metrics), grads = jax.value_and_grad(
-            functools.partial(loss_fn, model, task=task,
-                              mask_image_regions=mask_image_regions,
-                              drop_worst_ratio=drop_worst_ratio),
-            has_aux=True)(params, batch, rng)
-        return grads, metrics
+    def single_grads(params, batch, rng, drop_worst_ratio, scale):
+        return _scaled_grads(model, params, batch, rng,
+                             drop_worst_ratio=drop_worst_ratio,
+                             mask_image_regions=mask_image_regions,
+                             task=task, scale=scale)
 
     def train_step(state: TrainState, batch, rng, drop_worst_ratio):  # noqa: D401
         """One update (see make_multi_step for the device-loop variant)."""
+        scale = None if loss_scale is None else state.loss_scale["scale"]
         if grad_accum <= 1:
             grads, metrics = single_grads(state.params, batch, rng,
-                                          drop_worst_ratio)
+                                          drop_worst_ratio, scale)
         else:
             micro = jax.tree_util.tree_map(
                 lambda x: x.reshape((grad_accum, -1) + x.shape[1:]), batch)
@@ -139,7 +186,8 @@ def make_train_step(model: VLPModel, tx: optax.GradientTransformation, *,
             def body(carry, mb):
                 acc = carry
                 rng_i = jax.random.fold_in(rng, acc[1])
-                g, m = single_grads(state.params, mb, rng_i, drop_worst_ratio)
+                g, m = single_grads(state.params, mb, rng_i,
+                                    drop_worst_ratio, scale)
                 return (jax.tree_util.tree_map(jnp.add, acc[0], g),
                         acc[1] + 1), m
 
@@ -149,15 +197,14 @@ def make_train_step(model: VLPModel, tx: optax.GradientTransformation, *,
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
             metrics = jax.tree_util.tree_map(jnp.mean, metrics)
 
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_opt, state.step + 1), metrics
+        return _apply_grads(tx, loss_scale, state, grads, metrics)
 
     return train_step
 
 
 def make_multi_step(model: VLPModel, tx: optax.GradientTransformation, *,
-                    mask_image_regions: bool = False, task: str = "img2txt"):
+                    mask_image_regions: bool = False, task: str = "img2txt",
+                    loss_scale=None):
     """Device-loop training: scan over K stacked batches inside ONE jitted
     call.
 
@@ -170,14 +217,11 @@ def make_multi_step(model: VLPModel, tx: optax.GradientTransformation, *,
     """
 
     def one(state, batch, rng, ratio):
-        (loss, metrics), grads = jax.value_and_grad(
-            functools.partial(loss_fn, model, task=task,
-                              mask_image_regions=mask_image_regions,
-                              drop_worst_ratio=ratio),
-            has_aux=True)(state.params, batch, rng)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        return TrainState(optax.apply_updates(state.params, updates),
-                          new_opt, state.step + 1), metrics
+        scale = None if loss_scale is None else state.loss_scale["scale"]
+        grads, metrics = _scaled_grads(
+            model, state.params, batch, rng, drop_worst_ratio=ratio,
+            mask_image_regions=mask_image_regions, task=task, scale=scale)
+        return _apply_grads(tx, loss_scale, state, grads, metrics)
 
     def multi_step(state: TrainState, stacked_batch, rng, drop_worst_ratio):
         def body(st, xs):
