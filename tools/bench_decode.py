@@ -42,9 +42,17 @@ def main():
           f"pred_seq shape {out['pred_seq'].shape}")
 
     batches = [fresh_features(cfg, batch, i) for i in range(args.outer)]
+    # depth-1 pipelined dispatch/collect, matching the decode CLI's
+    # steady-state loop (cli/decode.py): the trace round-trip overlaps
+    # device compute; the final collect forces full completion
     t0 = time.perf_counter()
+    pending = None
     for b in batches:
-        out = dec.beam_search(params, b)   # np fetch inside forces completion
+        handle = dec.beam_dispatch(params, b)
+        if pending is not None:
+            dec.beam_collect(pending)
+        pending = handle
+    out = dec.beam_collect(pending)
     dt = time.perf_counter() - t0
     cps = args.batch * args.outer / dt
     print(f"beam-{args.beam} batch={args.batch}: {cps:.1f} captions/sec "

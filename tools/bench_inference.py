@@ -12,12 +12,23 @@ Inputs are generated on device (the axon tunnel's ~2 MB/s h2d link and the
 different features so no dispatch is served from the remote execution
 cache; host-side fetches force completion.
 
-Usage: python tools/bench_inference.py [--label r02]
+Methodology (round 3): the remote TPU runtime has documented 13s-500s
+compile variance and bursty dispatch latency (CLAUDE.md), so a single
+timing window can undershoot the sustained rate by >1.7x (the r02 records
+192/326 vs the 560 the same code sustains in a quiet window).  Each metric
+now times ``--windows`` independent windows of ``--outer`` batches and
+reports the BEST window (the sustained-capability number — same discipline
+as ``bench.py:_bench_host_loader``), with every per-window number and the
+median recorded in the JSON so round-over-round noise is visible instead of
+masquerading as a regression.
+
+Usage: python tools/bench_inference.py [--label r03] [--windows 5]
 """
 
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,19 +40,40 @@ OUT_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "INFER_BENCH.json")
 
 
-def measure_decode(batch_size=100, beam=5, max_tgt=20, outer=3):
+def _window_stats(per_window):
+    return {
+        "best": round(max(per_window), 1),
+        "median": round(statistics.median(per_window), 1),
+        "windows": [round(x, 1) for x in per_window],
+    }
+
+
+def measure_decode(batch_size=100, beam=5, max_tgt=20, outer=3, windows=5):
+    """Times the decode CLI's steady-state discipline: depth-1 pipelined
+    dispatch/collect (cli/decode.py) — dispatch batch N+1, then fetch +
+    back-trace batch N, so the trace round-trip overlaps device compute.
+    The final collect forces completion of everything dispatched in the
+    window."""
     from tools.common import fresh_features, setup_decode
     cfg, model, params, dec, batch = setup_decode(batch_size, beam, max_tgt,
                                                   True)
     dec.beam_search(params, fresh_features(cfg, batch, -1))  # compile
     batches = [fresh_features(cfg, batch, i) for i in range(outer)]
-    t0 = time.perf_counter()
-    for b in batches:
-        dec.beam_search(params, b)  # np fetch inside forces completion
-    return batch_size * outer / (time.perf_counter() - t0)
+    per_window = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        pending = None
+        for b in batches:
+            handle = dec.beam_dispatch(params, b)
+            if pending is not None:
+                dec.beam_collect(pending)
+            pending = handle
+        dec.beam_collect(pending)
+        per_window.append(batch_size * outer / (time.perf_counter() - t0))
+    return _window_stats(per_window)
 
 
-def measure_vqa(batch_size=256, outer=5):
+def measure_vqa(batch_size=256, outer=5, windows=5):
     import jax
     import jax.numpy as jnp
     from vlp_tpu.config import MODE_BI, VLPConfig
@@ -82,27 +114,40 @@ def measure_vqa(batch_size=256, outer=5):
         return b
 
     int(np.asarray(infer(params, fresh(0)))[0])  # compile + force
-    t0 = time.perf_counter()
-    for i in range(1, outer + 1):
-        int(np.asarray(infer(params, fresh(i)))[0])
-    return B * outer / (time.perf_counter() - t0)
+    per_window = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(1, outer + 1):
+            int(np.asarray(infer(params, fresh(w * outer + i)))[0])
+        per_window.append(B * outer / (time.perf_counter() - t0))
+    return _window_stats(per_window)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--label", default="")
     ap.add_argument("--outer", type=int, default=3)
+    ap.add_argument("--windows", type=int, default=5,
+                    help="independent timing windows per metric; the record "
+                         "reports best-of (sustained capability) plus the "
+                         "per-window numbers and median")
     args = ap.parse_args()
 
     import jax
+    dec = measure_decode(outer=args.outer, windows=args.windows)
+    vqa = measure_vqa(outer=max(args.outer, 3), windows=args.windows)
     rec = {
         "label": args.label,
         "backend": jax.default_backend(),
         "time": time.strftime("%Y-%m-%d %H:%M:%S"),
-        "beam5_b100_captions_per_sec": round(
-            measure_decode(outer=args.outer), 1),
-        "vqa_b256_questions_per_sec": round(
-            measure_vqa(outer=max(args.outer, 3)), 1),
+        "methodology": f"best of {args.windows} windows x {args.outer} "
+                       "batches (see module docstring)",
+        "beam5_b100_captions_per_sec": dec["best"],
+        "beam5_b100_median": dec["median"],
+        "beam5_b100_windows": dec["windows"],
+        "vqa_b256_questions_per_sec": vqa["best"],
+        "vqa_b256_median": vqa["median"],
+        "vqa_b256_windows": vqa["windows"],
     }
     hist = []
     if os.path.exists(OUT_PATH):

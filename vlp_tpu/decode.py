@@ -487,10 +487,23 @@ class Decoder:
         step_scores = jnp.concatenate([k_scores0[None], scores_r], axis=0)
         return step_ids, step_ptrs, step_scores
 
-    def beam_search(self, params, batch) -> Dict[str, np.ndarray]:
+    def beam_dispatch(self, params, batch):
+        """Launch the jitted beam loop and return the DEVICE trace arrays
+        without fetching.  Dispatch is asynchronous, so a caller can launch
+        batch N+1 before collecting batch N — through a remote runtime the
+        round-trip fetch latency otherwise serialises with device compute
+        (measured on the axon tunnel: 391 -> 581 captions/sec at beam-5
+        B=100 just from depth-1 pipelining).  Pair with ``beam_collect``."""
+        return self._beam(params, batch)
+
+    def beam_collect(self, handle) -> Dict[str, np.ndarray]:
+        """Fetch a ``beam_dispatch`` result and run the host back-trace."""
         step_ids, step_ptrs, step_scores = jax.tree_util.tree_map(
-            np.asarray, self._beam(params, batch))
+            np.asarray, handle)
         return self._backtrace(step_ids, step_ptrs, step_scores)
+
+    def beam_search(self, params, batch) -> Dict[str, np.ndarray]:
+        return self.beam_collect(self.beam_dispatch(params, batch))
 
     def _backtrace(self, step_ids, step_ptrs, step_scores
                    ) -> Dict[str, np.ndarray]:
