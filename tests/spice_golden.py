@@ -1,0 +1,119 @@
+"""Golden scene-graph fixture for SPICE parse-fidelity measurement.
+
+Each entry is (caption_tokens, objects, attributes, relations) with the
+HAND-BUILT semantically-correct scene graph in this repo's representation
+(lemmatised heads; relations named by lemmatised verb/preposition words).
+The captions are COCO-shaped and exercise the constructions the rule-based
+parser must handle: SVO verbs, verb+preposition, copula+adjective,
+participle modifiers, attribute stacks, noun-noun compounds, conjunction
+subjects, numerals, and prepositional chains.
+
+These goldens describe what a CORRECT parse produces — they are a
+measurement instrument for `evals/spice.py:parse_scene_graph`, not a
+transcript of its output; entries deliberately include constructions the
+parser is expected to miss (numeral determiners, compound relation verbs)
+so the pinned precision/recall is an honest fidelity number
+(tests/test_evals.py::TestSpiceGolden, reported in PARITY.md).
+"""
+
+# (caption, objects, attributes {(obj, attr)}, relations {(s, rel, o)})
+GOLDEN = [
+    ("a man rides a horse",
+     {"man", "horse"}, set(), {("man", "ride", "horse")}),
+
+    ("a young boy eating a slice of pizza",
+     {"boy", "slice", "pizza"}, {("boy", "young")},
+     {("boy", "eat", "slice"), ("slice", "of", "pizza")}),
+
+    ("two dogs playing in the snow",
+     {"dog", "snow"}, {("dog", "two")}, {("dog", "play in", "snow")}),
+
+    ("a red bus on a city street",
+     {"bus", "street"}, {("bus", "red"), ("street", "city")},
+     {("bus", "on", "street")}),
+
+    ("the door is open",
+     {"door"}, {("door", "open")}, set()),
+
+    ("a white cat sleeping on a wooden bench",
+     {"cat", "bench"}, {("cat", "white"), ("bench", "wooden")},
+     {("cat", "sleep on", "bench")}),
+
+    ("a group of people standing around a table",
+     {"people", "table"}, set(), {("people", "stand around", "table")}),
+
+    ("a man and a woman sitting on a couch",
+     {"man", "woman", "couch"}, set(),
+     {("man", "sit on", "couch"), ("woman", "sit on", "couch")}),
+
+    ("a large elephant walking through tall grass",
+     {"elephant", "grass"}, {("elephant", "large"), ("grass", "tall")},
+     {("elephant", "walk through", "grass")}),
+
+    ("a plate of food on the table",
+     {"plate", "food", "table"}, set(),
+     {("plate", "of", "food"), ("plate", "on", "table")}),
+
+    ("the kitchen is clean and bright",
+     {"kitchen"}, {("kitchen", "clean"), ("kitchen", "bright")}, set()),
+
+    ("a parked car near a fire hydrant",
+     {"car", "hydrant"}, {("car", "parked"), ("hydrant", "fire")},
+     {("car", "near", "hydrant")}),
+
+    ("a woman holding an umbrella in the rain",
+     {"woman", "umbrella", "rain"}, set(),
+     {("woman", "hold", "umbrella"), ("woman", "in", "rain")}),
+
+    ("a small bird perched on a branch",
+     {"bird", "branch"}, {("bird", "small")},
+     {("bird", "perch on", "branch")}),
+
+    ("a pizza topped with cheese and mushrooms",
+     {"pizza", "cheese", "mushroom"}, set(),
+     {("pizza", "top with", "cheese"), ("pizza", "top with", "mushroom")}),
+
+    ("a herd of sheep grazing in a green field",
+     {"herd", "sheep", "field"}, {("field", "green")},
+     {("herd", "of", "sheep"), ("sheep", "graze in", "field")}),
+
+    ("a young girl in a blue dress",
+     {"girl", "dress"}, {("girl", "young"), ("dress", "blue")},
+     {("girl", "in", "dress")}),
+
+    ("a train traveling down train tracks",
+     {"train", "track"}, {("track", "train")},
+     {("train", "travel down", "track")}),
+
+    ("the bathroom has a white sink and a mirror",
+     {"bathroom", "sink", "mirror"}, {("sink", "white")},
+     {("bathroom", "have", "sink"), ("bathroom", "have", "mirror")}),
+
+    ("a man wearing a black jacket riding a skateboard",
+     {"man", "jacket", "skateboard"}, {("jacket", "black")},
+     {("man", "wear", "jacket"), ("man", "ride", "skateboard")}),
+
+    ("a stop sign at a busy intersection",
+     {"sign", "intersection"}, {("sign", "stop"), ("intersection", "busy")},
+     {("sign", "at", "intersection")}),
+
+    ("a laptop computer sitting on top of a desk",
+     {"computer", "desk"}, {("computer", "laptop")},
+     {("computer", "sit on top of", "desk")}),
+
+    ("an old wooden boat floating on the water",
+     {"boat", "water"}, {("boat", "old"), ("boat", "wooden")},
+     {("boat", "float on", "water")}),
+
+    ("a tall giraffe standing next to a tree",
+     {"giraffe", "tree"}, {("giraffe", "tall")},
+     {("giraffe", "stand next to", "tree")}),
+
+    ("the little girl is happy",
+     {"girl"}, {("girl", "little"), ("girl", "happy")}, set()),
+]
+
+
+def golden_tuples(entry):
+    _, objs, attrs, rels = entry
+    return {(o,) for o in objs} | set(attrs) | set(rels)

@@ -370,48 +370,186 @@ class TestVQA:
             (out["yes/no"] + out["number"]) / 2)
 
 
-class TestMeteor:
-    def test_identity_high(self):
-        from vlp_tpu.evals.meteor import compute_meteor
-        gts = {0: ["a man rides a horse"]}
-        res = {0: ["a man rides a horse"]}
-        mean, _ = compute_meteor(gts, res)
-        assert mean > 0.95  # perfect match, single chunk
+class TestSpiceGolden:
+    """Parse fidelity measured against hand-built golden scene graphs
+    (tests/spice_golden.py) — quantifies the rule-based parser's delta from
+    a correct parse instead of asserting consistency (round-2 verdict
+    Missing #4).  The corpus precision/recall floor is pinned; the measured
+    number is recorded in PARITY.md."""
 
-    def test_stem_stage(self):
+    def _corpus_pr(self):
+        from tests.spice_golden import GOLDEN, golden_tuples
+        from vlp_tpu.evals.spice import parse_scene_graph
+        tm = tg = tp = 0
+        for entry in GOLDEN:
+            got = parse_scene_graph(entry[0].split()).tuples()
+            gold = golden_tuples(entry)
+            tm += len(got & gold)
+            tg += len(gold)
+            tp += len(got)
+        return tm / tp, tm / tg
+
+    def test_golden_precision_recall(self):
+        p, r = self._corpus_pr()
+        # measured 0.973/0.973 (r03); the floor leaves margin for lexicon
+        # tweaks but fails on real parser regressions
+        assert p >= 0.95, f"parse precision {p:.3f} regressed"
+        assert r >= 0.95, f"parse recall {r:.3f} regressed"
+
+    def test_known_failure_modes_are_attachment_only(self):
+        """The residual golden misses must all be PP/participle attachment
+        choices (relation with the right label but a nearer subject), never
+        missing objects/attributes — i.e. the parser's blind spot is
+        characterised, not open-ended."""
+        from tests.spice_golden import GOLDEN, golden_tuples
+        from vlp_tpu.evals.spice import parse_scene_graph
+        for entry in GOLDEN:
+            got = parse_scene_graph(entry[0].split()).tuples()
+            gold = golden_tuples(entry)
+            for t in gold - got:
+                assert len(t) == 3, (entry[0], t)
+                # same (relation, object) must exist with another subject
+                assert any(g[1:] == t[1:] for g in got if len(g) == 3), \
+                    (entry[0], t)
+
+    def test_parse_coverage_metric(self):
+        """The per-run caveat metric reported next to SPICE: fraction of
+        content tokens consumed into propositions."""
+        from vlp_tpu.evals.spice import (corpus_parse_coverage,
+                                         parse_coverage, parse_scene_graph)
+        toks = "a man rides a horse".split()
+        assert parse_coverage(toks, parse_scene_graph(toks)) == 1.0
+        # an all-connector caption parses to nothing but covers trivially
+        assert parse_coverage(["the", "of"],
+                              parse_scene_graph(["the", "of"])) == 1.0
+        cov = corpus_parse_coverage(
+            {0: ["a man rides a horse"]}, {0: ["a man rides a horse"]})
+        assert cov == pytest.approx(1.0)
+
+    def test_golden_coverage_floor(self):
+        """Coverage over the golden corpus (content tokens reaching some
+        tuple) — the caveat metric should sit high on caption-shaped
+        English."""
+        from tests.spice_golden import GOLDEN
+        from vlp_tpu.evals.spice import parse_coverage, parse_scene_graph
+        vals = [parse_coverage(e[0].split(), parse_scene_graph(e[0].split()))
+                for e in GOLDEN]
+        assert sum(vals) / len(vals) >= 0.95
+
+
+class TestMeteor:
+    """Meteor 1.5 scoring (the jar coco-caption runs: alpha=0.85, beta=0.2,
+    gamma=0.6, delta=0.75, stage weights 1.0/0.6/0.8/0.6).  Expected values
+    are hand-computed from the published Meteor-Universal formula inside
+    each test."""
+
+    def test_identity_hand_computed(self):
+        """'a man rides a horse' vs itself: P=R=F=1 (all exact, weight 1);
+        m=5 matches in ch=1 chunk -> Pen = 0.6*(1/5)^0.2."""
         from vlp_tpu.evals.meteor import meteor_pair
-        # 'riding' vs 'rides' match via Porter stem
+        toks = "a man rides a horse".split()
+        expect = 1.0 * (1 - 0.6 * (1 / 5) ** 0.2)
+        assert meteor_pair(toks, toks) == pytest.approx(expect)
+
+    def test_stem_stage_hand_computed(self):
+        """'a man riding' vs 'a man rides': a (function, exact w=1.0),
+        man (content, exact w=1.0), riding~rides (content, stem w=0.6).
+        mass = 1*0.25 + 1*0.75 + 0.6*0.75 = 1.45 over den = 2*0.75 + 0.25
+        = 1.75 on both sides -> P=R=F=1.45/1.75; Pen = 0.6*(1/3)^0.2."""
+        from vlp_tpu.evals.meteor import meteor_pair
         s = meteor_pair("a man riding".split(), "a man rides".split())
-        assert s > 0.8
+        f = 1.45 / 1.75
+        expect = f * (1 - 0.6 * (1 / 3) ** 0.2)
+        assert s == pytest.approx(expect)
+
+    def test_delta_content_function_weighting(self):
+        """A content-word match must contribute more than a function-word
+        match (delta = 0.75 weighting)."""
+        from vlp_tpu.evals.meteor import meteor_pair
+        func_match = meteor_pair("the cat".split(), "the dog".split())
+        cont_match = meteor_pair("black cat".split(), "black dog".split())
+        assert cont_match > func_match > 0
+        # hand check of the function-word pair: mass 0.25 / den 1.0 on both
+        # sides -> P=R=F=0.25; m=ch=1 -> Pen = 0.6
+        assert func_match == pytest.approx(0.25 * 0.4)
 
     def test_fragmentation_penalty(self):
         from vlp_tpu.evals.meteor import meteor_pair
-        contiguous = meteor_pair("a b c d".split(), "a b c d".split())
-        scrambled = meteor_pair("d c b a".split(), "a b c d".split())
+        contiguous = meteor_pair("black cat ran home".split(),
+                                 "black cat ran home".split())
+        scrambled = meteor_pair("home ran cat black".split(),
+                                "black cat ran home".split())
         assert contiguous > scrambled > 0
+        # scrambled: all 4 matched, 4 chunks -> Pen = gamma = 0.6, F = 1
+        assert scrambled == pytest.approx(0.4)
 
     def test_disjoint_zero(self):
         from vlp_tpu.evals.meteor import meteor_pair
         assert meteor_pair("x y".split(), "p q".split()) == 0.0
 
+    def test_corpus_is_aggregate_not_mean(self):
+        """The jar's system score evaluates the formula on SUMMED segment
+        statistics (MeteorStats aggregation), not the mean of segment
+        scores."""
+        from vlp_tpu.evals.meteor import (PairStats, compute_meteor,
+                                          pair_stats, score_from_stats)
+        gts = {0: ["a man rides a horse"], 1: ["a dog runs fast"]}
+        res = {0: ["a man rides a horse"], 1: ["x y z"]}
+        corpus, segs = compute_meteor(gts, res)
+        mean = sum(segs) / 2
+        total = PairStats()
+        for k in res:
+            total = total.add(pair_stats(res[k][0].split(),
+                                         gts[k][0].split()))
+        assert corpus == pytest.approx(score_from_stats(total))
+        assert corpus != pytest.approx(mean)
+
     def test_bounds_bracket_score(self):
-        """The (lower, upper) interval must contain the plain score and be
-        tight for perfect matches (quantifies the missing-stage delta)."""
+        """lb <= METEOR <= ub; the interval collapses for perfect matches
+        (no unmatched tokens -> the jar-only matchers can add nothing)."""
         from vlp_tpu.evals.meteor import compute_meteor, meteor_bounds
         gts = {0: ["a man rides a horse"], 1: ["a dog runs fast"]}
         res = {0: ["a man rides a horse"], 1: ["a cat walks slowly"]}
         score, _ = compute_meteor(gts, res)
         lo, hi = meteor_bounds(gts, res)
-        assert lo == pytest.approx(score)
-        assert hi >= lo
-        # image 0 is a perfect single-chunk match: its upper == its lower
-        perfect_lo, _ = compute_meteor({0: gts[0]}, {0: res[0]})
-        perfect_lo2, perfect_hi = meteor_bounds({0: gts[0]}, {0: res[0]})
-        assert perfect_hi == pytest.approx(perfect_lo)
+        assert lo <= score + 1e-9 <= hi + 1e-9
+        perfect, _ = compute_meteor({0: gts[0]}, {0: res[0]})
+        plo, phi = meteor_bounds({0: gts[0]}, {0: res[0]})
+        assert plo == pytest.approx(perfect)
+        assert phi == pytest.approx(perfect)
+
+    def test_upper_bound_tight_for_short_garbage(self):
+        """Round-2 weakness: a 3-token garbage hypothesis against a 10-token
+        reference used to get upper ~0.4+ under the v1 bound.  The 1.5
+        bound caps extra matches at the synonym weight (0.8) with the
+        availability-constrained masses and the merged-chunk penalty floor:
+        hand-computed ub = F(P=0.8, R=0.24) * (1 - 0.6*(1/3)^0.2) ~ 0.139."""
+        from vlp_tpu.evals.meteor import meteor_bounds
+        gts = {0: ["cats dogs horses birds fish goats cows sheep mice hens"]}
+        res = {0: ["xyzzy plugh quux"]}
+        lo, hi = meteor_bounds(gts, res)
+        assert lo == pytest.approx(0.0)
+        p, r = 0.8, 0.8 * 3 / 10
+        f = p * r / (0.85 * p + 0.15 * r)
+        expect = f * (1 - 0.6 * (1 / 3) ** 0.2)
+        assert hi == pytest.approx(expect)
+        assert hi < 0.2
+
+    def test_lower_bound_admits_adversarial_paraphrase(self):
+        """With beta=0.2 an extra isolated low-weight match can LOWER the
+        jar score, so lb must be able to sit below the native score."""
+        from vlp_tpu.evals.meteor import compute_meteor, meteor_bounds
+        # long mostly-matched pair with unmatched leftovers on both sides
+        gts = {0: ["a man rides a horse near the old red barn today"]}
+        res = {0: ["a man rides a horse near the qqq www eee rrr"]}
+        score, _ = compute_meteor(gts, res)
+        lo, hi = meteor_bounds(gts, res)
+        assert lo <= score <= hi
+        assert lo < score  # adversarial extra matches found
 
     def test_synonym_stage_hook(self):
-        """A caller-provided synonym table adds matches (WordNet data, when
-        installed, flows through the same hook)."""
+        """A caller-provided synonym table adds matches at weight 0.8
+        (WordNet data, when installed, flows through the same hook)."""
         from vlp_tpu.evals.meteor import meteor_pair
         table = {"dog": frozenset({"s1"}), "puppy": frozenset({"s1"}),
                  "runs": frozenset({"s2"}), "a": frozenset()}
@@ -420,3 +558,13 @@ class TestMeteor:
         with_syn = meteor_pair("a puppy runs".split(), "a dog runs".split(),
                                syn)
         assert with_syn > without
+
+    def test_v1_still_available(self):
+        """METEOR v1 (alpha=0.9, beta=3, gamma=0.5, unweighted) kept for
+        experiments; identity scores ~1 under its cubed penalty."""
+        from vlp_tpu.evals.meteor import compute_meteor_v1, meteor_v1_pair
+        toks = "a man rides a horse".split()
+        assert meteor_v1_pair(toks, toks) == pytest.approx(
+            1 - 0.5 * (1 / 5) ** 3)
+        mean, _ = compute_meteor_v1({0: ["a b"]}, {0: ["a b"]})
+        assert mean > 0.9

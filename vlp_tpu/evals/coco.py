@@ -65,17 +65,24 @@ def language_eval(ann_file: str, preds: List[dict], model_id: str,
         out["CIDEr"] = cider
         rouge, rouge_img = compute_rouge(gts, res)
         out["ROUGE_L"] = rouge
-        from vlp_tpu.evals.meteor import meteor_bounds, wordnet_synonyms
+        from vlp_tpu.evals.meteor import (compute_meteor, meteor_bounds,
+                                          wordnet_synonyms)
         syn = wordnet_synonyms()  # synonym stage when WordNet is installed
-        # lower bound = the native score; upper bound quantifies the
-        # stages that cannot run here (see evals/meteor.py docstring) —
-        # one call computes both (the alignment is the dominant cost)
-        out["METEOR"], out["METEOR_ub"] = meteor_bounds(gts, res, syn)
+        # Meteor-1.5 scoring (the jar coco-caption actually runs,
+        # lang_utils.py:17-18): METEOR is the native 1.5 system score;
+        # the [lb, ub] interval brackets the matchers that cannot run
+        # air-gapped (see evals/meteor.py docstring)
+        out["METEOR"], _ = compute_meteor(gts, res, syn)
+        out["METEOR_lb"], out["METEOR_ub"] = meteor_bounds(gts, res, syn)
         # SPICE: exact published scoring over an approximate (rule-based)
         # scene-graph parse — consistent across compared models; plug an
-        # external parser via evals/spice.compute_spice for Java parity
-        from vlp_tpu.evals.spice import compute_spice
+        # external parser via evals/spice.compute_spice for Java parity.
+        # SPICE_parse_coverage is the per-run caveat: the fraction of
+        # content tokens the parser consumed into propositions (golden
+        # scene-graph fidelity is pinned in tests/test_evals.py)
+        from vlp_tpu.evals.spice import compute_spice, corpus_parse_coverage
         out["SPICE"], _ = compute_spice(gts, res, syn)
+        out["SPICE_parse_coverage"] = corpus_parse_coverage(gts, res)
         for j, k in enumerate(res):
             img_scores[k] = {"CIDEr": cider_img[j], "ROUGE_L": rouge_img[j],
                              "Bleu_4": bleu_img[j][3]}

@@ -37,9 +37,21 @@ from typing import Callable, Dict, FrozenSet, List, Optional, Set, Tuple
 
 DETERMINERS = frozenset("""
 a an the this that these those his her its their our my your some any each
-every no several many few both all half one two three four five six seven
-eight nine ten eleven twelve couple group lot lots bunch number
+every no several many few both all half one couple group lot lots bunch
+number
 """.split())
+
+# counting numerals become attributes, as in the Java pipeline's scene
+# graphs ("two dogs" -> (dog, two)); "one" stays a determiner (article-like
+# in captions)
+NUMERALS = frozenset("""
+two three four five six seven eight nine ten eleven twelve
+""".split())
+
+# multiword-preposition members: consumed into the relation when adjacent
+# to of/to ("on top of", "next to", "in front of")
+_MWE_PREP = {"top": ("of",), "front": ("of",), "next": ("to",),
+             "side": ("of",)}
 
 PREPOSITIONS = frozenset("""
 on in at with near under over above behind beside by of for from down up
@@ -140,6 +152,20 @@ def _is_adjective(tok: str) -> bool:
     return tok in ADJECTIVES or bool(_ADJ_SUFFIX.match(tok))
 
 
+def _rel_lemma(t: str) -> str:
+    """Relation-token lemma: verb lemmatisation incl. past participles
+    (perched -> perch, topped -> top, served -> serve)."""
+    if _is_verb(t):
+        lem = _lemma(t)
+        if lem == t:
+            ed = _ed_stem(t)
+            if ed is not None:
+                return ed + "e" if (ed not in VERBS
+                                    and ed + "e" in VERBS) else ed
+        return lem
+    return t
+
+
 # ------------------------------------------------------------ scene graph --
 
 Tuple1 = Tuple[str]
@@ -173,7 +199,15 @@ def _chunk(tokens: List[str]):
     rel_buf: List[str] = []
     while i < n:
         tok = tokens[i]
-        if tok in DETERMINERS or _is_adjective(tok) or not (
+        if tok in _MWE_PREP and i + 1 < n \
+                and tokens[i + 1] in _MWE_PREP[tok]:
+            # "on top of" / "next to" / "in front of": the noun-shaped
+            # member joins the relation instead of opening a phrase
+            rel_buf.append(tok)
+            i += 1
+            continue
+        if tok in DETERMINERS or tok in NUMERALS or _is_adjective(tok) \
+                or not (
                 tok in PREPOSITIONS or tok in COPULAS or tok in AUXILIARIES
                 or tok in CONJUNCTIONS or tok in PRONOUNS
                 or tok in PARTICLES or _is_verb(tok)):
@@ -253,6 +287,19 @@ def parse_scene_graph(caption_tokens: List[str]) -> SceneGraph:
                 for a in [np2.head] + np2.attrs:
                     g.attributes.add((segs[k][1].head, a))
                 predicative.add(k + 2)
+                # "is clean and bright": predicate adjectives chain
+                # through conjunctions
+                fwd = k + 2
+                while fwd + 2 < len(segs) and segs[fwd + 1][0] == "conj" \
+                        and segs[fwd + 2][0] == "np" \
+                        and _is_adjective(segs[fwd + 2][1].head) \
+                        and all(_is_adjective(a)
+                                for a in segs[fwd + 2][1].attrs):
+                    for a in ([segs[fwd + 2][1].head]
+                              + segs[fwd + 2][1].attrs):
+                        g.attributes.add((segs[k][1].head, a))
+                    predicative.add(fwd + 2)
+                    fwd += 2
     # adjectives left inside a copula rel segment ("is open and shiny"
     # can chunk either way depending on the lexicon)
     for k in range(len(segs) - 1):
@@ -285,14 +332,33 @@ def parse_scene_graph(caption_tokens: List[str]) -> SceneGraph:
                 back -= 2
             if k + 2 < len(segs) and segs[k + 1][0] == "rel" \
                     and segs[k + 2][0] == "np":
-                rel_toks = [t for t in segs[k + 1][1]
-                            if t not in COPULAS and t not in AUXILIARIES
-                            and t not in PARTICLES]
+                raw = segs[k + 1][1]
+                rel_toks = [t for j, t in enumerate(raw)
+                            if not (t in COPULAS or t in AUXILIARIES
+                                    or t in PARTICLES)
+                            or (t == "to" and j > 0
+                                and raw[j - 1] in _MWE_PREP)]
+                if not rel_toks and any(t in ("has", "have", "had")
+                                        for t in raw):
+                    # "the room has a sink": possession is a relation, not
+                    # an auxiliary (the Java graphs emit 'have')
+                    rel_toks = ["have"]
                 if rel_toks:
-                    rel = " ".join(_lemma(t) if _is_verb(t) else t
-                                   for t in rel_toks)
+                    rel = " ".join(_rel_lemma(t) for t in rel_toks)
+                    objs = [segs[k + 2][1].head]
+                    # "<s> rel c and d" — extend through conjunctions,
+                    # unless the conj NP starts its own clause (is itself
+                    # followed by a rel segment)
+                    fwd = k + 2
+                    while fwd + 2 < len(segs) and segs[fwd + 1][0] == "conj" \
+                            and segs[fwd + 2][0] == "np" \
+                            and not (fwd + 3 < len(segs)
+                                     and segs[fwd + 3][0] == "rel"):
+                        objs.append(segs[fwd + 2][1].head)
+                        fwd += 2
                     for s in subjects:
-                        g.relations.add((s, rel, segs[k + 2][1].head))
+                        for o in objs:
+                            g.relations.add((s, rel, o))
         k += 1
     return g
 
@@ -334,6 +400,39 @@ def spice_pair(cand: Set[TupleN], refs: Set[TupleN],
     if p + r == 0:
         return 0.0
     return 2 * p * r / (p + r)
+
+
+_CONNECTORS = (DETERMINERS | PREPOSITIONS | COPULAS | AUXILIARIES
+               | CONJUNCTIONS | PRONOUNS | PARTICLES)
+
+
+def parse_coverage(tokens: List[str], g: SceneGraph) -> float:
+    """Fraction of a caption's content tokens (connectors excluded) that the
+    rule-based parse consumed into some proposition tuple — the per-run
+    caveat metric reported next to SPICE in ``language_eval``.  A low value
+    flags captions whose constructions the chunker does not understand
+    (their propositions are missing from the F1 on BOTH sides)."""
+    content = [t for t in tokens if t not in _CONNECTORS]
+    if not content:
+        return 1.0
+    vocab: Set[str] = set()
+    for t in g.tuples():
+        for el in t:
+            vocab.update(el.split())
+    hit = sum(1 for t in content if t in vocab or _lemma(t) in vocab)
+    return hit / len(content)
+
+
+def corpus_parse_coverage(gts: Dict, res: Dict) -> float:
+    """Mean ``parse_coverage`` over all candidate AND reference captions
+    (both sides go through the same parser, so both sides' blind spots
+    matter)."""
+    vals = []
+    for k in res:
+        for s in list(res[k][:1]) + list(gts.get(k, [])):
+            toks = s.split()
+            vals.append(parse_coverage(toks, parse_scene_graph(toks)))
+    return sum(vals) / max(len(vals), 1)
 
 
 def compute_spice(gts: Dict, res: Dict,
