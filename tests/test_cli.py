@@ -226,6 +226,49 @@ class TestTrainCLI:
                             "--learning_rate", "1e-6"]))
         assert os.path.isdir(os.path.join(out, "model.1"))
 
+    def test_scst_train_data_parallel(self, fixtures):
+        """SCST with a divisible batch engages the 8-device shard_map mesh
+        (the reference's 4-GPU DDP SCST recipe, run_img2txt_dist.py:379-387
+        + :486-523); round 2 silently fell back to one device."""
+        out = os.path.join(fixtures["dir"], "out_scst_dp")
+        train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "1", "--scst",
+                            "--max_pred", "0", "--mask_prob", "0",
+                            "--dataset", "coco", "--train_batch_size", "8",
+                            "--steps_per_epoch", "1",
+                            "--learning_rate", "1e-6"]))
+        assert os.path.isdir(os.path.join(out, "model.1"))
+        log = open(os.path.join(out, "training.log")).read()
+        assert "data-parallel training over 8 devices" in log
+
+    def test_grad_accum_data_parallel(self, fixtures):
+        """--gradient_accumulation_steps > 1 no longer drops the mesh: the
+        micro-batch scan runs inside the shard_map local step
+        (run_img2txt_dist.py:111-114, 566-575 composes DDP + accum)."""
+        out = os.path.join(fixtures["dir"], "out_accum_dp")
+        train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "1",
+                            "--train_batch_size", "16",
+                            "--gradient_accumulation_steps", "2",
+                            "--steps_per_epoch", "2"]))
+        assert os.path.isdir(os.path.join(out, "model.1"))
+        log = open(os.path.join(out, "training.log")).read()
+        assert "data-parallel training over 8 devices" in log
+        assert "grad_accum=2" in log
+
+    def test_train_tensor_parallel(self, fixtures):
+        """--tensor_parallel N trains under GSPMD dp x tp (XLA attention;
+        library-only in round 2, now CLI-reachable)."""
+        out = os.path.join(fixtures["dir"], "out_tp")
+        train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "1",
+                            "--train_batch_size", "8",
+                            "--steps_per_epoch", "2",
+                            "--tensor_parallel", "2"]))
+        assert os.path.isdir(os.path.join(out, "model.1"))
+        log = open(os.path.join(out, "training.log")).read()
+        assert "GSPMD training: dp=4 x tp=2" in log
+
 
 class TestDecodeCLI:
     def test_beam_decode_with_checkpoint(self, fixtures):

@@ -15,16 +15,22 @@ REF_VLP = "/root/reference/vlp"
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF_VLP),
                                 reason="reference tree not mounted")
 
-# flags that exist only because of CUDA/torch mechanics or dead features;
-# each must be justified here
+# flags that exist only because of CUDA/torch process mechanics or dead
+# features — PER CLI, so an exemption for one surface can't silently hide a
+# missing flag on another; each entry must be justified here.  Absorbed
+# no-op flags (--amp, --fp32_embedding, --trunc_seg, --world_size) are NOT
+# exempt: they must exist on the parser with a "no-op" help note.
 EXEMPT = {
-    "--no_cuda",          # device selection is jax-automatic
-    "--local_rank",       # NCCL process mechanics; mesh-derived on TPU
-    "--global_rank",      # ditto (jax.process_index)
-    "--dist_url",         # file:// NCCL rendezvous; --jax_distributed instead
-    "--amp",              # apex amp
-    "--enable_visdom",    # visdom plots -> metrics.jsonl + plot_metrics.py
-    "--visdom_port",      # ditto
+    "run_img2txt_dist.py": {
+        "--no_cuda",        # device selection is jax-automatic
+        "--local_rank",     # NCCL process mechanics; mesh-derived on TPU
+        "--global_rank",    # ditto (jax.process_index)
+        "--dist_url",       # file:// NCCL rendezvous; --jax_distributed
+        "--enable_visdom",  # visdom plots -> metrics.jsonl + plot_metrics.py
+        "--visdom_port",    # ditto
+    },
+    "decode_img2txt.py": set(),
+    "eval_vqa2.py": set(),
 }
 
 
@@ -48,5 +54,7 @@ def our_flags(parser):
     ("eval_vqa2.py", vqa_cli.build_parser()),
 ])
 def test_flag_surface(ref_file, parser):
-    missing = ref_flags(ref_file) - our_flags(parser) - EXEMPT
+    missing = ref_flags(ref_file) - our_flags(parser) - EXEMPT[ref_file]
     assert not missing, f"{ref_file}: flags missing from our CLI: {missing}"
+    stale = EXEMPT[ref_file] - ref_flags(ref_file)
+    assert not stale, f"{ref_file}: exemptions no longer upstream: {stale}"

@@ -245,6 +245,132 @@ class TestDeviceLoopMultiChip:
         assert np.isfinite(np.asarray(metrics["loss"])).all()
 
 
+class TestShardMapGradAccum:
+    def test_accum_matches_full_batch(self, rng):
+        """grad_accum=2 through the 8-device shard_map step must equal the
+        single-device full-batch step exactly when dropout is off and every
+        example carries the same masked weight (grad averaging then commutes
+        with micro-batching) — the reference composes DDP with accumulation
+        the same way (run_img2txt_dist.py:111-114, 566-575)."""
+        cfg = cfg8().replace(hidden_dropout_prob=0.0,
+                             attention_probs_dropout_prob=0.0)
+        model = ts.create_model(cfg)
+        # t_total=-1: constant lr, so the step-0 update is non-zero (under
+        # the warmup schedule lr(step=0)==0 and the comparison would be
+        # vacuous — both sides would return the params unchanged)
+        state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                          lr=1e-3, warmup=0.1, t_total=-1)
+        mesh = mesh_lib.make_mesh(data=8, model=1)
+        batch = make_batch(cfg, 16, rng)
+
+        single = jax.jit(ts.make_train_step(model, tx))
+        s_ref, m_ref = single(state, batch, jax.random.PRNGKey(7), 0.0)
+
+        make = pjit_step.make_shard_map_step(model, tx, mesh, grad_accum=2)
+        step = make(state, batch)
+        s_acc, m_acc = step(state, batch, jax.random.PRNGKey(7), 0.0)
+
+        assert int(s_acc.step) == 1
+        np.testing.assert_allclose(float(m_acc["loss"]),
+                                   float(m_ref["loss"]), rtol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                        jax.tree_util.tree_leaves(s_acc.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
+
+    def test_accum_multi_step_runs(self, setup, rng):
+        """K-step device loop with accumulation inside each optimizer step
+        (the CLI's --device_loop_steps + --gradient_accumulation_steps)."""
+        cfg, model, state, tx = setup
+        mesh = mesh_lib.make_mesh(data=8, model=1)
+        K = 2
+        batches = [make_batch(cfg, 16, rng) for _ in range(K)]
+        stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+        sharded = pjit_step.shard_stacked_batch(stacked, mesh)
+        fn = pjit_step.make_shard_map_multi_step(model, tx, mesh,
+                                                 grad_accum=2)(state, sharded)
+        s_in = jax.tree_util.tree_map(jnp.array, state)
+        s2, m2 = fn(s_in, sharded, jax.random.PRNGKey(9), 0.0)
+        assert m2["loss"].shape == (K,)
+        assert np.isfinite(np.asarray(m2["loss"])).all()
+        assert int(s2.step) == K
+
+
+class TestShardMapSCST:
+    def test_scst_step_matches_single_device(self, rng):
+        """Data-parallel SCST (rollouts + forced-replay policy gradient per
+        shard, grads pmean'd — the reference's 4-GPU DDP SCST recipe,
+        run_img2txt_dist.py:379-387 + :486-523) must reproduce, with dropout
+        off: (a) the single-device greedy baseline exactly, and (b) the
+        parameter update implied by the mean of per-shard policy
+        gradients."""
+        import optax
+        from vlp_tpu import scst as scst_lib
+        from tests.test_decode import decode_batch, tiny_cfg as dec_tiny
+
+        cfg = dec_tiny().replace(hidden_dropout_prob=0.0,
+                                 attention_probs_dropout_prob=0.0)
+        model = ts.create_model(cfg)
+        # t_total=-1: constant lr (lr(step=0) would be 0 under warmup,
+        # making the parameter comparison below vacuous)
+        state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                          lr=1e-3, warmup=0.1, t_total=-1)
+        mesh = mesh_lib.make_mesh(data=8, model=1)
+        B = 8
+        batch = decode_batch(cfg, B, rng)
+        gt = rng.integers(6, cfg.vocab_size, (B, cfg.max_len_b)).astype(
+            np.int32)
+        gt[:, -1] = 4  # EOS
+
+        kw = dict(mask_id=5, eos_id=4, pad_id=0,
+                  max_tgt_length=cfg.max_len_b)
+        tr_mesh = scst_lib.SCSTTrainer(model, cfg, tx=tx, mesh=mesh, **kw)
+        tr_single = scst_lib.SCSTTrainer(model, cfg, tx=tx, **kw)
+
+        st_m, b_m = tr_mesh.shard_inputs(state, batch)
+        rng_key = jax.random.PRNGKey(3)
+        greedy_m, sample_m = tr_mesh.rollouts(st_m.params, b_m, rng_key)
+        greedy_s, _ = tr_single.rollouts(state.params, batch, rng_key)
+        # greedy baseline is deterministic -> must match exactly
+        np.testing.assert_array_equal(greedy_m, greedy_s)
+
+        # expected update: mean of per-shard pg grads on the mesh's own
+        # sampled rollout (DDP semantics), applied through the same tx
+        reward = scst_lib.get_self_critical_reward(greedy_m, gt, sample_m)
+        assert np.abs(reward).sum() > 0  # a zero reward would zero the
+        # grads and make the parameter comparison below near-vacuous
+        per_shard = []
+        for sh in range(8):
+            sl = slice(sh, sh + 1)
+            shard_batch = {k: v[sl] for k, v in batch.items()}
+            _, g = jax.value_and_grad(tr_single._pg_loss, has_aux=True)(
+                state.params, shard_batch, jnp.asarray(sample_m[sl]),
+                jnp.asarray(reward[sl]), jax.random.PRNGKey(0))
+            per_shard.append(g)
+        mean_g = jax.tree_util.tree_map(
+            lambda *gs: sum(gs) / len(gs), *per_shard)
+        updates, _ = tx.update(mean_g, state.opt_state, state.params)
+        expect = optax.apply_updates(state.params, updates)
+
+        # host snapshots BEFORE the step: the mesh step donates its state
+        # arg, and on CPU device_put(replicated) can alias the source
+        # buffers, deleting state.params too
+        before = [np.array(x) for x in
+                  jax.tree_util.tree_leaves(state.params)]
+        expect_np = [np.array(x) for x in jax.tree_util.tree_leaves(expect)]
+
+        st2, loss, metrics = tr_mesh.step(st_m, b_m, gt, rng_key)
+        assert np.isfinite(loss)
+        assert "mean_reward" in metrics
+        after = [np.asarray(x) for x in
+                 jax.tree_util.tree_leaves(st2.params)]
+        changed = any(not np.allclose(a, b)
+                      for a, b in zip(before, after))
+        assert changed, "SCST step left all params unchanged"
+        for a, b in zip(expect_np, after):
+            np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-6)
+
+
 class TestStackBatches:
     def test_out_buffer_reuse(self, setup, rng):
         cfg, model, state, tx = setup

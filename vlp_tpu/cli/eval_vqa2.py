@@ -29,6 +29,10 @@ def build_parser():
     p.add_argument("--bert_model", default="bert-base-cased", type=str)
     p.add_argument("--model_recover_path", default=None, type=str)
     p.add_argument("--fp16", action="store_true")
+    p.add_argument("--amp", action="store_true",
+                   help="no-op, covered by design: apex amp autocast "
+                        "(eval_vqa2.py upstream); inference runs bf16 "
+                        "activations / fp32 LN+softmax always on TPU")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--do_lower_case", action="store_true")
     p.add_argument("--new_segment_ids", action="store_true")

@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--fp16", action="store_true",
                    help="bf16 activations on TPU (fp32 otherwise)")
+    p.add_argument("--amp", action="store_true",
+                   help="no-op, covered by design: apex amp autocast "
+                        "(run_img2txt_dist.py:117); mixed precision here is "
+                        "bf16 activations / fp32 params+LN+softmax, or "
+                        "--true_fp16 for the loss-scaled parity path")
     p.add_argument("--true_fp16", action="store_true",
                    help="fp16 activations + dynamic loss scaling (the "
                         "reference FP16_Optimizer_State path, "
@@ -150,6 +155,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="call jax.distributed.initialize() for multi-host "
                         "pods (replaces the reference's file:// NCCL "
                         "rendezvous; coordinator comes from the TPU env)")
+    p.add_argument("--tensor_parallel", type=int, default=0,
+                   help="shard attention heads / FFN / vocab over a "
+                        "'model' mesh axis of this size (GSPMD); composes "
+                        "with data parallelism (data = devices / tp).  "
+                        "Rides the XLA attention path — GSPMD cannot "
+                        "partition the Pallas custom calls — so pure-DP "
+                        "meshes (the default) keep the fused kernels.  "
+                        "Beyond the reference (its 110M BERT-base never "
+                        "needs TP); useful for memory headroom experiments")
     return p
 
 
@@ -168,9 +182,11 @@ def make_config(args, vocab_size: int) -> VLPConfig:
         dtype=("float16" if getattr(args, "true_fp16", False)
                else "bfloat16" if (args.fp16 or on_tpu) else "float32"),
         # the Pallas kernels are validated for bf16/fp32; the fp16 parity
-        # path rides XLA attention
+        # path rides XLA attention, and GSPMD tensor parallelism cannot
+        # partition Mosaic custom calls (parallel/pjit_step.py docstring)
         use_pallas_attention=(on_tpu and not args.no_pallas
-                              and not getattr(args, "true_fp16", False)),
+                              and not getattr(args, "true_fp16", False)
+                              and getattr(args, "tensor_parallel", 0) <= 1),
     )
     if args.max_position_embeddings:
         cfg = cfg.replace(max_position_embeddings=args.max_position_embeddings)
@@ -201,6 +217,19 @@ def main(argv=None):
     if args.scst:
         assert args.dataset == "coco", "scst support on coco only!"
         assert args.max_pred == 0 and args.mask_prob == 0, "no mask for scst!"
+        assert args.gradient_accumulation_steps <= 1, \
+            "scst does not compose with gradient accumulation (the " \
+            "reference SCST recipe is batch 16x4 without accumulation, " \
+            "README.md:96); scale via data parallelism instead"
+
+    if args.tensor_parallel > 1:
+        assert not args.scst and not args.true_fp16, \
+            "--tensor_parallel composes with the default bf16 MLM/VQA " \
+            "paths only"
+        if args.device_loop_steps > 1:
+            # the GSPMD TP step has no device-loop variant; fall back to
+            # per-step dispatch rather than silently dropping TP
+            args.device_loop_steps = 1
 
     if args.jax_distributed:
         jax.distributed.initialize()
@@ -391,49 +420,74 @@ def main(argv=None):
     # reference's DDP semantics of one data shard per GPU.
     mesh = None
     n_dev = len(jax.devices())
-    if (n_dev > 1 and not args.scst and not args.true_fp16
-            and args.gradient_accumulation_steps <= 1
-            and args.train_batch_size % n_dev == 0):
+    accum = max(args.gradient_accumulation_steps, 1)
+    tp = max(args.tensor_parallel, 1)
+    if tp > 1:
+        from vlp_tpu.parallel import pjit_step
+        from vlp_tpu.parallel.mesh import make_mesh
+        assert n_dev % tp == 0, (n_dev, tp)
+        dp_size = n_dev // tp
+        assert args.train_batch_size % (max(dp_size, 1) * accum) == 0, \
+            "batch must divide (devices/tp) * grad_accum"
+        mesh = make_mesh(data=dp_size, model=tp)
+        state = pjit_step.shard_state(state, mesh, tensor_parallel=True)
+        logger.info("GSPMD training: dp=%d x tp=%d (XLA attention%s)",
+                    dp_size, tp,
+                    f", grad_accum={accum}" if accum > 1 else "")
+    elif (n_dev > 1 and not args.true_fp16
+            and args.train_batch_size % (n_dev * accum) == 0):
         from jax.sharding import NamedSharding, PartitionSpec
         from vlp_tpu.parallel import pjit_step
         from vlp_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(data=n_dev, model=1)
         state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
-        logger.info("data-parallel training over %d devices (shard_map)",
-                    n_dev)
+        logger.info("data-parallel training over %d devices (shard_map%s)",
+                    n_dev,
+                    f", grad_accum={accum}" if accum > 1 else "")
     elif n_dev > 1:
         logger.warning(
-            "%d devices visible but running single-device (scst, true_fp16, "
-            "grad accumulation, or batch %% devices != 0)", n_dev)
+            "%d devices visible but running single-device (true_fp16, or "
+            "batch %% (devices * grad_accum) != 0)", n_dev)
 
     scst_trainer = None
     multi_fn = step_fn = None
     if args.scst:
+        # data-parallel SCST: rollouts + forced-replay policy gradient per
+        # shard under shard_map, grads pmean'd — matching the reference's
+        # 4-GPU DDP SCST recipe (run_img2txt_dist.py:379-387 + :486-523)
         from vlp_tpu.scst import SCSTTrainer
         sp = tokenizer.vocab
         scst_trainer = SCSTTrainer(
             model, cfg, mask_id=sp["[MASK]"], eos_id=sp["[SEP]"],
-            pad_id=sp["[PAD]"], max_tgt_length=cfg.max_len_b, tx=tx)
+            pad_id=sp["[PAD]"], max_tgt_length=cfg.max_len_b, tx=tx,
+            mesh=mesh)
     elif args.device_loop_steps > 1:
         if mesh is not None:
             multi_make = pjit_step.make_shard_map_multi_step(
                 model, tx, mesh,
-                mask_image_regions=args.mask_image_regions, task=args.tasks)
+                mask_image_regions=args.mask_image_regions, task=args.tasks,
+                grad_accum=accum)
         else:
             multi_fn = jax.jit(ts.make_multi_step(
                 model, tx, mask_image_regions=args.mask_image_regions,
-                task=args.tasks, loss_scale=loss_scale),
+                task=args.tasks, loss_scale=loss_scale, grad_accum=accum),
                 donate_argnums=(0,))
     else:
-        if mesh is not None:
+        if mesh is not None and tp > 1:
+            step_make = pjit_step.make_pjit_train_step(
+                model, tx, mesh, tensor_parallel=True,
+                mask_image_regions=args.mask_image_regions, task=args.tasks,
+                grad_accum=accum)
+        elif mesh is not None:
             step_make = pjit_step.make_shard_map_step(
                 model, tx, mesh,
-                mask_image_regions=args.mask_image_regions, task=args.tasks)
+                mask_image_regions=args.mask_image_regions, task=args.tasks,
+                grad_accum=accum)
         else:
             step_fn = jax.jit(ts.make_train_step(
                 model, tx, mask_image_regions=args.mask_image_regions,
                 task=args.tasks, loss_scale=loss_scale,
-                grad_accum=args.gradient_accumulation_steps))
+                grad_accum=accum))
 
     if args.do_train:
         logger.info("***** Running training *****")
@@ -536,6 +590,9 @@ def main(argv=None):
                 if args.scst:
                     prefix = cfg.prefix_len
                     dec_batch = _scst_decode_batch(jbatch, cfg)
+                    if mesh is not None:
+                        state, dec_batch = scst_trainer.shard_inputs(
+                            state, dec_batch)
                     # gt = everything after the prompt incl. the final [SEP]
                     # (run_img2txt_dist.py:517: input_ids[:, len_vis+2:])
                     gt = np.asarray(batch["input_ids"][:,

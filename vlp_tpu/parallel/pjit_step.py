@@ -69,7 +69,11 @@ def make_pjit_train_step(model: VLPModel, tx: optax.GradientTransformation,
         b_sh = jax.tree_util.tree_map(
             lambda x: NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))),
             batch)
-        return jax.jit(wrapped, in_shardings=(st_sh, b_sh, rep, rep))
+        # out_shardings pinned to the input layout: left free, GSPMD may
+        # return opt-state leaves with compiler-chosen shardings, and the
+        # next step's in_shardings check then rejects its own output
+        return jax.jit(wrapped, in_shardings=(st_sh, b_sh, rep, rep),
+                       out_shardings=(st_sh, rep))
 
     return make
 
@@ -77,13 +81,14 @@ def make_pjit_train_step(model: VLPModel, tx: optax.GradientTransformation,
 def make_shard_map_multi_step(model: VLPModel,
                               tx: optax.GradientTransformation, mesh: Mesh,
                               *, mask_image_regions: bool = False,
-                              task: str = "img2txt"):
+                              task: str = "img2txt", grad_accum: int = 1):
     """Device-loop analogue of ``make_shard_map_step``: K optimizer steps
     scanned per dispatch (train_step.make_multi_step) with the batch dim
     sharded over the mesh's ``data`` axis and grads pmean'd on ICI each
     step.  Params/optimizer replicated; Pallas attention runs per shard.
     Returns ``make(state, stacked_batch) -> fn`` like the single-step
     factory; ``stacked_batch`` is ``[K, B_global, ...]``.
+    ``grad_accum`` composes as in ``make_shard_map_step``.
     """
     from jax import shard_map
 
@@ -92,11 +97,11 @@ def make_shard_map_multi_step(model: VLPModel,
 
         def body(st, xs):
             batch, i = xs
-            (loss, metrics), grads = jax.value_and_grad(
-                functools.partial(ts.loss_fn, model, task=task,
-                                  mask_image_regions=mask_image_regions,
-                                  drop_worst_ratio=ratio),
-                has_aux=True)(st.params, batch, jax.random.fold_in(rng, i))
+            grads, metrics = ts.grads_with_accum(
+                model, st.params, batch, jax.random.fold_in(rng, i),
+                drop_worst_ratio=ratio,
+                mask_image_regions=mask_image_regions, task=task,
+                grad_accum=grad_accum)
             grads = jax.lax.pmean(grads, "data")
             metrics = jax.lax.pmean(metrics, "data")
             updates, new_opt = tx.update(grads, st.opt_state, st.params)
@@ -140,19 +145,25 @@ def shard_stacked_batch(stacked, mesh: Mesh):
 
 def make_shard_map_step(model: VLPModel, tx: optax.GradientTransformation,
                         mesh: Mesh, *, mask_image_regions: bool = False,
-                        task: str = "img2txt"):
+                        task: str = "img2txt", grad_accum: int = 1):
     """Data-parallel step via shard_map: params replicated, batch sharded over
     'data', grads pmean'd explicitly.  Pallas attention runs per-shard, so
-    this path keeps the fused kernel in the multi-chip regime."""
+    this path keeps the fused kernel in the multi-chip regime.
+
+    ``grad_accum > 1`` scans micro-batches INSIDE the local step (each
+    shard's batch leading dim must be ``grad_accum * local_micro``) before
+    the single pmean — composing accumulation with data parallelism like the
+    reference's DDP + accumulation (run_img2txt_dist.py:111-114, 566-575),
+    with one gradient reduction per optimizer step (DDP likewise all-reduces
+    once, on the non-no_sync backward)."""
     from jax import shard_map
 
     def local_step(state, batch, rng, ratio):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-        (loss, metrics), grads = jax.value_and_grad(
-            functools.partial(ts.loss_fn, model, task=task,
-                              mask_image_regions=mask_image_regions,
-                              drop_worst_ratio=ratio),
-            has_aux=True)(state.params, batch, rng)
+        grads, metrics = ts.grads_with_accum(
+            model, state.params, batch, rng, drop_worst_ratio=ratio,
+            mask_image_regions=mask_image_regions, task=task,
+            grad_accum=grad_accum)
         grads = jax.lax.pmean(grads, "data")
         metrics = jax.lax.pmean(metrics, "data")
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

@@ -131,6 +131,37 @@ def _scaled_grads(model, params, batch, rng, *, drop_worst_ratio,
     return grads, metrics
 
 
+def grads_with_accum(model, params, batch, rng, *, drop_worst_ratio,
+                     mask_image_regions, task, scale=None, grad_accum=1):
+    """Gradients (and metrics) for one optimizer step, optionally scanned
+    over ``grad_accum`` micro-batches (batch leading dim must be
+    ``grad_accum * micro_batch``).  Gradients are averaged over the
+    micro-batches, matching the reference's loss/accum normalisation
+    (run_img2txt_dist.py:566-575); drop-worst stays per-forward (i.e. per
+    micro-batch), preserving the reference's per-device-batch semantics."""
+    if grad_accum <= 1:
+        return _scaled_grads(model, params, batch, rng,
+                             drop_worst_ratio=drop_worst_ratio,
+                             mask_image_regions=mask_image_regions,
+                             task=task, scale=scale)
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape((grad_accum, -1) + x.shape[1:]), batch)
+
+    def body(carry, xs):
+        mb, i = xs
+        g, m = _scaled_grads(model, params, mb, jax.random.fold_in(rng, i),
+                             drop_worst_ratio=drop_worst_ratio,
+                             mask_image_regions=mask_image_regions,
+                             task=task, scale=scale)
+        return jax.tree_util.tree_map(jnp.add, carry, g), m
+
+    zero = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, jnp.float32), params)
+    gsum, metrics = jax.lax.scan(body, zero, (micro, jnp.arange(grad_accum)))
+    grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+    return grads, jax.tree_util.tree_map(jnp.mean, metrics)
+
+
 def _apply_grads(tx, loss_scale, state: TrainState, grads, metrics):
     """Optimizer update with optional dynamic-loss-scale bookkeeping: unscale
     grads, skip the whole update (params AND optimizer moments, like apex's
@@ -167,36 +198,14 @@ def make_train_step(model: VLPModel, tx: optax.GradientTransformation, *,
     ``state.loss_scale`` must then hold ``loss_scale.init()``.
     """
 
-    def single_grads(params, batch, rng, drop_worst_ratio, scale):
-        return _scaled_grads(model, params, batch, rng,
-                             drop_worst_ratio=drop_worst_ratio,
-                             mask_image_regions=mask_image_regions,
-                             task=task, scale=scale)
-
     def train_step(state: TrainState, batch, rng, drop_worst_ratio):  # noqa: D401
         """One update (see make_multi_step for the device-loop variant)."""
         scale = None if loss_scale is None else state.loss_scale["scale"]
-        if grad_accum <= 1:
-            grads, metrics = single_grads(state.params, batch, rng,
-                                          drop_worst_ratio, scale)
-        else:
-            micro = jax.tree_util.tree_map(
-                lambda x: x.reshape((grad_accum, -1) + x.shape[1:]), batch)
-
-            def body(carry, mb):
-                acc = carry
-                rng_i = jax.random.fold_in(rng, acc[1])
-                g, m = single_grads(state.params, mb, rng_i,
-                                    drop_worst_ratio, scale)
-                return (jax.tree_util.tree_map(jnp.add, acc[0], g),
-                        acc[1] + 1), m
-
-            zero = jax.tree_util.tree_map(
-                lambda p: jnp.zeros_like(p, jnp.float32), state.params)
-            (gsum, _), metrics = jax.lax.scan(body, (zero, 0), micro)
-            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
-            metrics = jax.tree_util.tree_map(jnp.mean, metrics)
-
+        grads, metrics = grads_with_accum(
+            model, state.params, batch, rng,
+            drop_worst_ratio=drop_worst_ratio,
+            mask_image_regions=mask_image_regions, task=task, scale=scale,
+            grad_accum=grad_accum)
         return _apply_grads(tx, loss_scale, state, grads, metrics)
 
     return train_step
@@ -204,7 +213,7 @@ def make_train_step(model: VLPModel, tx: optax.GradientTransformation, *,
 
 def make_multi_step(model: VLPModel, tx: optax.GradientTransformation, *,
                     mask_image_regions: bool = False, task: str = "img2txt",
-                    loss_scale=None):
+                    loss_scale=None, grad_accum: int = 1):
     """Device-loop training: scan over K stacked batches inside ONE jitted
     call.
 
@@ -218,9 +227,10 @@ def make_multi_step(model: VLPModel, tx: optax.GradientTransformation, *,
 
     def one(state, batch, rng, ratio):
         scale = None if loss_scale is None else state.loss_scale["scale"]
-        grads, metrics = _scaled_grads(
+        grads, metrics = grads_with_accum(
             model, state.params, batch, rng, drop_worst_ratio=ratio,
-            mask_image_regions=mask_image_regions, task=task, scale=scale)
+            mask_image_regions=mask_image_regions, task=task, scale=scale,
+            grad_accum=grad_accum)
         return _apply_grads(tx, loss_scale, state, grads, metrics)
 
     def multi_step(state: TrainState, stacked_batch, rng, drop_worst_ratio):

@@ -84,26 +84,112 @@ class SCSTTrainer:
     Device-dispatch budget per step: the reference's loop body is dozens of
     kernel launches; here it is THREE dispatches (both rollouts fused in
     one, the host CIDEr reward in between, grads+update in one) — dispatch
-    latency is real on remote TPU runtimes."""
+    latency is real on remote TPU runtimes.
+
+    Data parallelism: pass ``mesh`` (with a ``data`` axis) and shard the
+    batch with ``shard_inputs`` — both rollouts AND the forced-replay
+    policy-gradient step then run per shard under ``shard_map`` (the decode
+    path reaches Pallas kernels, which GSPMD cannot auto-partition), with
+    gradients/metrics pmean'd on ICI and the host CIDEr reward computed on
+    the gathered (small, int) rollout ids.  This matches the reference's
+    4-GPU DDP SCST recipe (run_img2txt_dist.py:379-387 driving the SCST
+    branch at :486-523; README.md:96)."""
 
     def __init__(self, model: VLPModel, cfg: VLPConfig, *, mask_id: int,
                  eos_id: int, pad_id: int = 0, max_tgt_length: int = 20,
-                 tx=None):
+                 tx=None, mesh=None):
         self.cfg = cfg
         self.model = model
         self.eos_id = eos_id
         self.pad_id = pad_id
         self.T = max_tgt_length
+        self.mesh = mesh
         self.dp = DecodeParams(mask_id=mask_id, eos_id=eos_id, pad_id=pad_id,
                                max_tgt_length=max_tgt_length)
         self.decoder = Decoder(model, cfg, self.dp)
         self._loss_grad = jax.jit(jax.value_and_grad(self._pg_loss,
                                                      has_aux=True))
-        self._both_rollouts = jax.jit(self._run_both_rollouts)
         self.tx = tx
-        if tx is not None:
-            self._grad_update = jax.jit(self._run_grad_update,
-                                        donate_argnums=(0,))
+        if mesh is None:
+            self._both_rollouts = jax.jit(self._run_both_rollouts)
+            if tx is not None:
+                self._grad_update = jax.jit(self._run_grad_update,
+                                            donate_argnums=(0,))
+        else:
+            self._both_rollouts = None   # built lazily (needs batch pytree)
+            self._grad_update = None
+
+    # -- shard_map wrappers (mesh path) -------------------------------------
+    def _fold_shard(self, rng):
+        return jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+    def _make_sharded_rollouts(self, params, batch):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        rep = P()
+
+        def body(params, batch, rng):
+            # per-shard sampling stream; the replay body folds identically
+            # so the forced pass regenerates the same dropout masks
+            return self._run_both_rollouts(params, batch,
+                                           self._fold_shard(rng))
+
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: rep, params),
+                      jax.tree_util.tree_map(
+                          lambda x: P("data", *([None] * (x.ndim - 1))),
+                          batch),
+                      rep),
+            out_specs=(P("data"), P("data")), check_vma=False)
+        return jax.jit(fn)
+
+    def _make_sharded_grad_update(self, state, batch):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        rep = P()
+        data = lambda x: P("data", *([None] * (x.ndim - 1)))  # noqa: E731
+
+        def body(state, batch, gen_result, reward, rng):
+            # same fold + split structure as the rollout body: drop_rng is
+            # split(rng_shard)[1], matching _run_greedy's internal split
+            _, drop_rng = jax.random.split(self._fold_shard(rng))
+            (loss, metrics), grads = jax.value_and_grad(
+                self._pg_loss, has_aux=True)(state.params, batch, gen_result,
+                                             reward, drop_rng)
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            metrics = jax.tree_util.tree_map(
+                lambda x: jax.lax.pmean(x, "data"), metrics)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return state._replace(params=new_params, opt_state=new_opt,
+                                  step=state.step + 1), loss, metrics
+
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: rep, state),
+                      jax.tree_util.tree_map(lambda x: data(x), batch),
+                      P("data"), P("data"), rep),
+            out_specs=(jax.tree_util.tree_map(lambda _: rep, state),
+                       rep, {"scst_loss": rep}),
+            check_vma=False)
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def shard_inputs(self, state_or_params, batch):
+        """Place params/state replicated and the batch sharded over the
+        mesh's ``data`` axis (no-op without a mesh)."""
+        if self.mesh is None:
+            return state_or_params, batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(self.mesh, P())
+        state_or_params = jax.device_put(state_or_params, rep)
+        batch = {
+            k: jax.device_put(v, NamedSharding(
+                self.mesh, P("data", *([None] * (v.ndim - 1)))))
+            for k, v in batch.items()}
+        return state_or_params, batch
 
     def _run_both_rollouts(self, params, batch, rng):
         """Greedy baseline (eval mode) + sampled rollout (train mode, dropout
@@ -180,7 +266,11 @@ class SCSTTrainer:
     # -- public API --------------------------------------------------------
     def rollouts(self, params, batch, rng):
         """Greedy baseline in eval mode, sample in train mode (dropout on),
-        matching run_img2txt_dist.py:494-507 — one device dispatch."""
+        matching run_img2txt_dist.py:494-507 — one device dispatch.  With a
+        mesh the rollouts run per shard and the (small, int) ids gather to
+        host here."""
+        if self.mesh is not None and self._both_rollouts is None:
+            self._both_rollouts = self._make_sharded_rollouts(params, batch)
         greedy_ids, sample_ids = self._both_rollouts(params, batch, rng)
         greedy = clean_rollout(np.asarray(greedy_ids), self.eos_id, self.pad_id)
         sample = clean_rollout(np.asarray(sample_ids), self.eos_id, self.pad_id)
@@ -189,7 +279,9 @@ class SCSTTrainer:
     def loss_and_grads(self, params, batch, gt_ids: np.ndarray, rng):
         """Returns (loss, grads, metrics).  ``gt_ids`` are the ground-truth
         caption token ids [B, T] (input_ids[:, prefix:] in the reference,
-        run_img2txt_dist.py:517)."""
+        run_img2txt_dist.py:517).  Single-device API (the mesh path is
+        ``step``)."""
+        assert self.mesh is None, "use step() on the mesh path"
         greedy, sample = self.rollouts(params, batch, rng)
         reward = get_self_critical_reward(greedy, gt_ids, sample)
         # the rollout derives its dropout key as split(rng)[1] (decode.py
@@ -204,12 +296,23 @@ class SCSTTrainer:
     def step(self, state, batch, gt_ids: np.ndarray, rng):
         """Full SCST update (requires ``tx`` at construction): rollouts ->
         host CIDEr reward -> fused policy-gradient + BertAdam dispatch.
-        Returns (new_state, loss, metrics)."""
+        Returns (new_state, loss, metrics).  With a mesh, the replay step
+        runs per shard with grads pmean'd (DDP-SCST semantics)."""
         assert self.tx is not None, "pass tx= to SCSTTrainer for step()"
         greedy, sample = self.rollouts(state.params, batch, rng)
         reward = get_self_critical_reward(greedy, gt_ids, sample)
-        _, drop_rng = jax.random.split(rng)
-        state, loss, metrics = self._grad_update(
-            state, batch, jnp.asarray(sample), jnp.asarray(reward), drop_rng)
+        if self.mesh is None:
+            _, drop_rng = jax.random.split(rng)
+            state, loss, metrics = self._grad_update(
+                state, batch, jnp.asarray(sample), jnp.asarray(reward),
+                drop_rng)
+        else:
+            if self._grad_update is None:
+                self._grad_update = self._make_sharded_grad_update(state,
+                                                                   batch)
+            # raw rng: the body folds by shard + splits, mirroring the
+            # rollout body's key derivation exactly
+            state, loss, metrics = self._grad_update(
+                state, batch, jnp.asarray(sample), jnp.asarray(reward), rng)
         metrics = dict(metrics, mean_reward=float(reward[:, 0].mean()))
         return state, float(loss), metrics
