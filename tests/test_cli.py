@@ -1,5 +1,6 @@
 """End-to-end CLI tests on CPU: train -> resume -> decode -> vqa -> scst,
-tiny model via --config_path, synthetic data."""
+tiny model via --config_path, synthetic data; plus the full checkpoint
+interop loop against the actual reference torch stack."""
 
 import json
 import os
@@ -11,6 +12,9 @@ from vlp_tpu.cli import common as cli_common
 from vlp_tpu.cli import decode as decode_cli
 from vlp_tpu.cli import eval_vqa2 as vqa_cli
 from vlp_tpu.cli import train as train_cli
+# reference-module loader fixture (skips itself when /root/reference is
+# not mounted)
+from tests.test_reference_parity import ref_modeling  # noqa: F401
 
 
 @pytest.fixture(scope="module")
@@ -402,3 +406,155 @@ class TestDeviceLoop:
         assert os.path.isdir(os.path.join(out, "model.1"))
         log = open(os.path.join(out, "training.log")).read()
         assert "mean loss" in log
+
+
+class TestE2ECheckpointInterop:
+    """The full user path for the <=0.5-CIDEr gate, proven end to end:
+    train the ACTUAL reference torch model a few steps -> torch.save a real
+    model.bin -> convert CLI (torch2jax, incl. the from_pretrained surgery)
+    -> decode CLI (beam 5) -> captions identical to the reference's own
+    BertForSeq2SeqDecoder.from_pretrained beam search on the same inputs
+    (/root/reference/vlp/decode_img2txt.py:161-264)."""
+
+    def test_torch_train_convert_decode_beam5(self, ref_modeling, tmp_path):
+        import torch
+        from vlp_tpu.cli import convert as convert_cli
+        from vlp_tpu.config import VLPConfig
+        from vlp_tpu.data.example_builder import (DecodeExampleBuilder,
+                                                  collate)
+        from vlp_tpu.data.features import make_store
+        from vlp_tpu.data.tokenization import detokenize
+
+        d = str(tmp_path)
+        vocab_path = cli_common.write_synthetic_vocab(
+            os.path.join(d, "vocab.txt"), size=120)
+        cfg_json = os.path.join(d, "bert_config.json")
+        with open(cfg_json, "w") as f:
+            json.dump({"vocab_size": 120, "hidden_size": 32,
+                       "num_hidden_layers": 2, "num_attention_heads": 2,
+                       "intermediate_size": 48,
+                       "max_position_embeddings": 512}, f)
+        tokenizer = cli_common.resolve_tokenizer(vocab_path, False, 108)
+        sp = tokenizer.vocab
+        CLS, SEP, MASK, UNK = (sp["[CLS]"], sp["[SEP]"], sp["[MASK]"],
+                               sp["[UNK]"])
+
+        # ---- 1. train the actual reference model a few steps ------------
+        torch.manual_seed(7)
+        ref_cfg = ref_modeling.BertConfig(
+            vocab_size_or_config_json_file=120, hidden_size=32,
+            num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=48, type_vocab_size=6, relax_projection=4)
+        ref = ref_modeling.BertForPreTrainingLossMask(
+            ref_cfg, enable_butd=True, len_vis_input=100)
+        ref.train()
+        # gentle lr: the tiny model collapses to a near-degenerate unigram
+        # distribution at 1e-3, and near-tied beam scores then flip on fp
+        # noise instead of exercising real decode parity
+        opt = torch.optim.Adam(ref.parameters(), lr=1e-4)
+        rng = np.random.default_rng(3)
+        B, L, prefix, nb = 2, 128, 102, 6
+        for _ in range(3):
+            ids = np.zeros((B, L), np.int64)
+            ids[:, 0] = CLS
+            ids[:, 1:101] = UNK
+            ids[:, 101] = SEP
+            ids[:, prefix:prefix + nb] = rng.integers(16, 120, (B, nb))
+            ids[:, prefix + nb] = SEP
+            seg = np.zeros((B, L), np.int64)
+            seg[:, :prefix] = 4
+            seg[:, prefix:prefix + nb + 1] = 5
+            mask = np.ones((B, L, L), np.float32)
+            masked_pos = np.tile(np.arange(prefix, prefix + 3)[None], (B, 1))
+            masked_ids = rng.integers(16, 120, (B, 3))
+            mlm_loss, _, _ = ref(
+                torch.from_numpy(rng.normal(size=(B, 100, 2048))
+                                 .astype(np.float32)),
+                torch.from_numpy(rng.normal(size=(B, 100, 1607))
+                                 .astype(np.float32)),
+                torch.from_numpy(ids), torch.from_numpy(seg),
+                torch.from_numpy(mask),
+                torch.from_numpy(masked_ids), None,
+                torch.full((B,), -1).long(),
+                masked_pos=torch.from_numpy(masked_pos),
+                masked_weights=torch.ones((B, 3)),
+                task_idx=torch.full((B,), 3).long(),
+                drop_worst_ratio=0)
+            opt.zero_grad()
+            mlm_loss.mean().backward()
+            opt.step()
+        ref.eval()
+        bin_path = os.path.join(d, "model.3.bin")
+        torch.save(ref.state_dict(), bin_path)
+
+        # ---- 2. convert CLI: model.bin -> orbax --------------------------
+        ckpt_dir = os.path.join(d, "model.3")
+        convert_cli.main(["--input", bin_path, "--output", ckpt_dir,
+                          "--direction", "torch2jax", "--new_segment_ids",
+                          "--relax_projection", "--config_path", cfg_json,
+                          "--vocab_size", "120"])
+
+        # ---- 3. decode CLI: beam 5 over the synthetic store --------------
+        T = 5
+        dec_out = os.path.join(d, "dec")
+        decode_cli.main([
+            "--synthetic_data", "--enable_butd", "--bert_model", vocab_path,
+            "--config_path", cfg_json, "--new_segment_ids",
+            "--batch_size", "3", "--beam_size", "5",
+            "--length_penalty", "0.5", "--min_len", "2",
+            "--max_tgt_length", str(T), "--num_synthetic", "3",
+            "--model_recover_path", ckpt_dir, "--output_dir", dec_out])
+        preds = {p["image_id"]: p["caption"] for p in json.load(
+            open(os.path.join(dec_out, "preds-model.3-val.json")))}
+        assert set(preds) == {0, 1, 2}
+
+        # ---- 4. the reference's own decode on the same inputs ------------
+        cfg = VLPConfig.from_reference_json(
+            cfg_json, type_vocab_size=6, relax_projection=4,
+            len_vis_input=100, max_len_b=T, dtype="float32",
+            use_pallas_attention=False)
+        store = make_store(synthetic=True, num_regions=100,
+                           feat_dim=cfg.vis_feat_dim,
+                           cls_dim=cfg.vis_cls_dim)
+        builder = DecodeExampleBuilder(cfg, sp, new_segment_ids=True,
+                                       max_tgt_length=T)
+        batch = collate([builder(*store.get(f"synthetic_{i}.npy"))
+                         for i in range(3)])
+        nb_, L_out = 3, cfg.prefix_len + T
+        s2s = np.zeros((L_out, L_out), np.float32)
+        s2s[:, :cfg.prefix_len] = 1
+        for i in range(cfg.prefix_len, L_out):
+            s2s[i, cfg.prefix_len:i + 1] = 1
+        ref_dec = ref_modeling.BertForSeq2SeqDecoder.from_pretrained(
+            d, state_dict=torch.load(bin_path), config_path=cfg_json,
+            max_position_embeddings=512, type_vocab_size=6, task_idx=3,
+            mask_word_id=MASK, search_beam_size=5, length_penalty=0.5,
+            eos_id=SEP, forbid_duplicate_ngrams=False,
+            forbid_ignore_set=None, ngram_size=3, min_len=2,
+            enable_butd=True, len_vis_input=100)
+        ref_dec.eval()
+        with torch.no_grad():
+            traces = ref_dec(
+                torch.from_numpy(batch["vis_feats"]),
+                torch.from_numpy(batch["vis_pe"]),
+                torch.from_numpy(batch["input_ids"].astype(np.int64)),
+                torch.from_numpy(
+                    batch["segment_ids"][:, :L_out].astype(np.int64)),
+                torch.from_numpy(
+                    batch["position_ids"][:, :L_out].astype(np.int64)),
+                torch.from_numpy(np.tile(s2s[None], (nb_, 1, 1))),
+                task_idx=torch.from_numpy(
+                    batch["task_idx"].astype(np.int64)))
+        ref_pred = traces["pred_seq"].numpy()
+
+        def caption_of(row):
+            words = []
+            for t in tokenizer.convert_ids_to_tokens(
+                    [int(x) for x in row]):
+                if t in ("[SEP]", "[PAD]"):
+                    break
+                words.append(t)
+            return " ".join(detokenize(words))
+
+        for i in range(3):
+            assert preds[i] == caption_of(ref_pred[i]), i

@@ -424,10 +424,52 @@ def get_max_epoch_model(output_dir: str) -> Optional[int]:
     return max(both) if both else None
 
 
+def _relax_select_tree(params, H: int, task_idx: int):
+    """Collapse a relax-projection MLM head (r heads) to head ``task_idx``:
+    select rows of transform_dense kernel/bias and transform_ln scale/bias.
+    The orbax analogue of the reference from_pretrained select surgery
+    (modeling.py:704-732) — note the collapsed head then LayerNorms over H
+    dims (the reference decoder's post-surgery math), NOT over r*H as the
+    training forward does."""
+    mlm = dict(params["mlm"])
+    td = dict(mlm["transform_dense"])
+    k = np.asarray(td["kernel"])                     # [H, r*H]
+    r = k.shape[1] // H
+    ti = task_idx if 0 <= task_idx < r else 0
+    td["kernel"] = k.reshape(H, r, H)[:, ti, :]
+    td["bias"] = np.asarray(td["bias"]).reshape(r, H)[ti]
+    ln = dict(mlm["transform_ln"])
+    ln["scale"] = np.asarray(ln["scale"]).reshape(r, H)[ti]
+    ln["bias"] = np.asarray(ln["bias"]).reshape(r, H)[ti]
+    mlm["transform_dense"] = td
+    mlm["transform_ln"] = ln
+    out = dict(params)
+    out["mlm"] = mlm
+    return out
+
+
 def load_model_checkpoint(path: str, cfg: VLPConfig, params_template,
                           task_idx: Optional[int] = None):
-    """Load either an orbax dir or a reference torch .bin."""
+    """Load either an orbax dir or a reference torch .bin.
+
+    Relax-projection mismatch on the orbax path: a checkpoint trained with
+    relax_projection=r restores into a collapsed (relax=0) template by
+    selecting head ``task_idx`` — the same surgery the reference's decoder
+    from_pretrained applies to .bin files (modeling.py:704-732), so
+    decoding our own multi-head training checkpoints follows the exact
+    reference decode semantics."""
     if os.path.isdir(path):
-        return restore_params(path, params_template)
+        restored = restore_params(path, jax_tree_to_numpy(params_template))
+        if "mlm" in restored:
+            H = cfg.hidden_size
+            want = params_template["mlm"]["transform_dense"]["kernel"].shape
+            got = np.asarray(
+                restored["mlm"]["transform_dense"]["kernel"]).shape
+            # orbax restores the STORED shapes even when the template
+            # disagrees — adapt multi-head -> collapsed here
+            if want[1] == H and got[1] != H:
+                restored = _relax_select_tree(
+                    restored, H, task_idx if task_idx is not None else 0)
+        return restored
     sd = load_torch_state_dict(path)
     return torch_to_params(sd, cfg, params_template, task_idx)

@@ -86,7 +86,13 @@ def main(argv=None):
     args.label_smoothing = 0
     args.max_len_b = args.max_tgt_length
     args.max_pred = 3
-    args.relax_projection = True
+    # the reference decoder runs with the relax-projection COLLAPSED to the
+    # task head: its from_pretrained surgery selects head task_idx=3 rows
+    # of the transform dense/LN (modeling.py:704-732), and the collapsed
+    # head then LayerNorms over H dims — numerically different from the
+    # training forward's LN over r*H.  load_model_checkpoint applies the
+    # same selection to both .bin and multi-head orbax checkpoints.
+    args.relax_projection = False
     args.vis_mask_prob = 0
 
     tokenizer = common.resolve_tokenizer(args.bert_model, args.do_lower_case,
