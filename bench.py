@@ -275,6 +275,32 @@ def main():
     except Exception as e:  # the headline metric must still report
         out["sustained_error"] = f"{type(e).__name__}: {e}"
 
+    # round-over-round e2e artifact: the genuinely-transferred pipeline
+    # number exists only on a real device link (CPU memcpy or TPU-VM PCIe);
+    # persist every run's pipeline health (loader rate, link bandwidth,
+    # measured-or-projected e2e) so it is tracked like INFER_BENCH instead
+    # of living in a transient stdout line
+    try:
+        hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "E2E_BENCH.json")
+        hist = []
+        if os.path.exists(hist_path):
+            with open(hist_path) as f:
+                hist = json.load(f)
+        hist.append({
+            "backend": jax.default_backend(),
+            "time": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "device_sps": out["value"],
+            **{k: out[k] for k in ("host_loader_sps", "h2d_mbps",
+                                   "sustained_e2e_sps",
+                                   "sustained_e2e_projected_sps",
+                                   "sustained_error") if k in out},
+        })
+        with open(hist_path, "w") as f:
+            json.dump(hist, f, indent=1)
+    except Exception as e:
+        out["e2e_history_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps(out))
 
 
