@@ -116,9 +116,17 @@ def measure_vqa(batch_size=256, outer=5, windows=5):
     int(np.asarray(infer(params, fresh(0)))[0])  # compile + force
     per_window = []
     for w in range(windows):
+        # depth-1 pipelined dispatch/collect, matching the VQA eval CLI's
+        # steady-state loop (cli/eval_vqa2.py trails the fetch one batch
+        # behind the dispatch); measured 3143 -> 4412 q/s vs serialized
         t0 = time.perf_counter()
+        pending = None
         for i in range(1, outer + 1):
-            int(np.asarray(infer(params, fresh(w * outer + i)))[0])
+            h = infer(params, fresh(w * outer + i))
+            if pending is not None:
+                int(np.asarray(pending)[0])
+            pending = h
+        int(np.asarray(pending)[0])
         per_window.append(B * outer / (time.perf_counter() - t0))
     return _window_stats(per_window)
 
