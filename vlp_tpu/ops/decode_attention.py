@@ -122,11 +122,21 @@ def _kernel(gen_len_ref, q_ref, k_ref, v_ref, pk_ref, pv_ref, gk_ref, gv_ref,
         out_ref[:, cols] = ctx.astype(dt)
 
 
-def _block_examples(B: int, K: int, G: int) -> int:
+def _block_examples(B: int, K: int, G: int, P: int, HD: int,
+                    itemsize: int = 2) -> int:
     """Examples per grid step: amortise per-step overhead while keeping the
-    gen-score tile (E*K*G lanes) and VMEM block sizes moderate."""
+    gen-score tile (E*K*G lanes) moderate AND the streamed blocks inside
+    the 16 MB scoped-VMEM limit.  Mosaic double-buffers every block, so the
+    footprint is 2x the per-step block bytes (4 q/k/v/out rows-blocks +
+    2 prompt + 4 gen-cache); budget 14 MB, leaving headroom for the
+    kernel's fp32 score/context intermediates.  Measured necessity: B=200
+    beam-5 would pick E=8 under the old lane-only rule and OOM scoped vmem
+    (17.8 MB > 16 MB, 'exceeded scoped vmem limit by 68.0K')."""
+    S = 2
     for e in (8, 4, 2):
-        if B % e == 0 and e * K * G <= 1024:
+        rows = 4 * e * K * S + 2 * e * P + 4 * e * K * G
+        if B % e == 0 and e * K * G <= 1024 \
+                and rows * HD * itemsize * 2 <= (14 << 20):
             return e
     return 1
 
@@ -147,7 +157,7 @@ def decode_attention(q, k, v, pk, pv, gk, gv, gen_len, *, n_heads: int):
     G = gk.shape[1]
     K = BK // B
     D = HD // n_heads
-    E = _block_examples(B, K, G)
+    E = _block_examples(B, K, G, P, HD, jnp.dtype(q.dtype).itemsize)
     kernel = functools.partial(_kernel, H=n_heads, K=K, S=S, G=G, P=P, E=E,
                                scale=1.0 / math.sqrt(D))
 
