@@ -22,6 +22,12 @@ as ``bench.py:_bench_host_loader``), with every per-window number and the
 median recorded in the JSON so round-over-round noise is visible instead of
 masquerading as a regression.
 
+Round 3 adds an opt-in serving-batch sweep (``--serving_batches 200,400``):
+the reference's recipe is B=100, but a serving deployment wants the
+max-throughput batch, and the decode kernel's VMEM-aware block sizing
+(ops/decode_attention.py:_block_examples) is what makes B>128 compile at
+all — the sweep keeps that scaling a tracked artifact.
+
 Usage: python tools/bench_inference.py [--label r03] [--windows 5]
 """
 
@@ -139,10 +145,17 @@ def main():
                     help="independent timing windows per metric; the record "
                          "reports best-of (sustained capability) plus the "
                          "per-window numbers and median")
+    ap.add_argument("--serving_batches", default="",
+                    help="comma-separated extra decode batch sizes to sweep "
+                         "(e.g. 200,400); each adds beam5_b{B}_* fields")
     args = ap.parse_args()
 
     import jax
     dec = measure_decode(outer=args.outer, windows=args.windows)
+    serving = {}
+    for b in (int(x) for x in args.serving_batches.split(",") if x):
+        serving[b] = measure_decode(batch_size=b, outer=args.outer,
+                                    windows=args.windows)
     vqa = measure_vqa(outer=max(args.outer, 3), windows=args.windows)
     rec = {
         "label": args.label,
@@ -157,6 +170,10 @@ def main():
         "vqa_b256_median": vqa["median"],
         "vqa_b256_windows": vqa["windows"],
     }
+    for b, st in serving.items():
+        rec[f"beam5_b{b}_captions_per_sec"] = st["best"]
+        rec[f"beam5_b{b}_median"] = st["median"]
+        rec[f"beam5_b{b}_windows"] = st["windows"]
     hist = []
     if os.path.exists(OUT_PATH):
         with open(OUT_PATH) as f:
