@@ -261,8 +261,9 @@ class TestTrainCLI:
         assert "grad_accum=2" in log
 
     def test_train_tensor_parallel(self, fixtures):
-        """--tensor_parallel N trains under GSPMD dp x tp (XLA attention;
-        library-only in round 2, now CLI-reachable)."""
+        """--tensor_parallel N defaults to the shard_map Megatron impl
+        (ops/tp.py; keeps the Pallas kernels per shard on real chips — XLA
+        attention here on the CPU mesh)."""
         out = os.path.join(fixtures["dir"], "out_tp")
         train_cli.main(base_train_args(
             fixtures, out, ["--num_train_epochs", "1",
@@ -271,7 +272,35 @@ class TestTrainCLI:
                             "--tensor_parallel", "2"]))
         assert os.path.isdir(os.path.join(out, "model.1"))
         log = open(os.path.join(out, "training.log")).read()
+        assert "shard_map training: dp=4 x tp=2" in log
+
+    def test_train_tensor_parallel_gspmd(self, fixtures):
+        """--tp_impl gspmd keeps the compiler-partitioned TP step
+        reachable (XLA attention by construction)."""
+        out = os.path.join(fixtures["dir"], "out_tp_gspmd")
+        train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "1",
+                            "--train_batch_size", "8",
+                            "--steps_per_epoch", "2",
+                            "--tensor_parallel", "2",
+                            "--tp_impl", "gspmd"]))
+        assert os.path.isdir(os.path.join(out, "model.1"))
+        log = open(os.path.join(out, "training.log")).read()
         assert "GSPMD training: dp=4 x tp=2" in log
+
+    def test_train_tensor_parallel_device_loop(self, fixtures):
+        """shard_map TP composes with the K-step device loop (the GSPMD
+        impl falls back to per-step dispatch)."""
+        out = os.path.join(fixtures["dir"], "out_tp_loop")
+        train_cli.main(base_train_args(
+            fixtures, out, ["--num_train_epochs", "1",
+                            "--train_batch_size", "8",
+                            "--steps_per_epoch", "2",
+                            "--device_loop_steps", "2",
+                            "--tensor_parallel", "2"]))
+        assert os.path.isdir(os.path.join(out, "model.1"))
+        log = open(os.path.join(out, "training.log")).read()
+        assert "shard_map training: dp=4 x tp=2" in log
 
 
 class TestDecodeCLI:

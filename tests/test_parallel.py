@@ -159,6 +159,131 @@ class TestGSPMD:
                                     None) == P()
 
 
+class TestShardMapTP:
+    """Manual Megatron f/g tensor parallelism under shard_map (ops/tp.py +
+    pjit_step tensor_parallel=True) — unlike GSPMD TP this keeps the Pallas
+    kernels, because every shard runs an ordinary single-device program."""
+
+    def _setup_tp(self, dp, tp, pallas=False):
+        cfg = cfg8().replace(hidden_dropout_prob=0.0,
+                             attention_probs_dropout_prob=0.0,
+                             use_pallas_attention=pallas)
+        model = ts.create_model(cfg)
+        # t_total=-1: constant lr so the step-0 update is non-zero
+        state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                          lr=1e-3, warmup=0.1, t_total=-1)
+        mesh = mesh_lib.make_mesh(data=dp, model=tp)
+        model_tp = ts.create_model(cfg.replace(tp_axis="model"))
+        tx_tp = ts.make_optimizer(cfg, state.params, lr=1e-3, warmup=0.1,
+                                  t_total=-1, clip_psum_axis="model")
+        return cfg, model, state, tx, mesh, model_tp, tx_tp
+
+    @pytest.mark.parametrize("dp,tp", [(2, 4), (4, 2)])
+    def test_tp_matches_single_device(self, rng, dp, tp):
+        """With dropout off, the dp x tp shard_map step must reproduce the
+        single-device update: column shards are disjoint (exact) and row
+        shards only reorder the contraction, so tolerances are float-assoc
+        tight."""
+        cfg, model, state, tx, mesh, model_tp, tx_tp = self._setup_tp(dp, tp)
+        batch = make_batch(cfg, 16, rng)
+
+        single = jax.jit(ts.make_train_step(model, tx))
+        s_ref, m_ref = single(state, batch, jax.random.PRNGKey(7), 0.0)
+
+        make = pjit_step.make_shard_map_step(model_tp, tx_tp, mesh,
+                                             tensor_parallel=True)
+        step = make(state, batch)
+        s_tp, m_tp = step(state, batch, jax.random.PRNGKey(7), 0.0)
+
+        np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]),
+                                   rtol=2e-5)
+        ref_leaves = jax.tree_util.tree_leaves_with_path(s_ref.params)
+        tp_leaves = dict(jax.tree_util.tree_leaves_with_path(s_tp.params))
+        for path, a in ref_leaves:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(tp_leaves[path]), rtol=2e-5,
+                atol=2e-6, err_msg=jax.tree_util.keystr(path))
+
+    def test_clip_sees_full_param_norm(self, rng):
+        """The per-parameter clip must use the FULL parameter's gradient
+        norm (reference clip_grad_norm_, optimization.py:146-147): a
+        uniform gradient of norm > 1 on a tp-sharded leaf has local norm
+        full/sqrt(tp), so a missing psum changes the clip scale by
+        sqrt(tp)."""
+        cfg, model, state, tx, mesh, model_tp, tx_tp = self._setup_tp(2, 4)
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, 0.37, dtype=jnp.float32),
+            state.params)
+        updates_ref, _ = tx.update(grads, state.opt_state, state.params)
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        tp_n = mesh.shape["model"]
+        pspec = mesh_lib.tp_param_specs(state.params, tp_n)
+        ospec = type(state.opt_state)(step=P(), m=pspec, v=pspec)
+
+        fn = shard_map(
+            lambda g, o, p: tx_tp.update(g, o, p)[0], mesh=mesh,
+            in_specs=(pspec, ospec, pspec), out_specs=pspec,
+            check_vma=False)
+        updates_tp = jax.jit(fn)(grads, state.opt_state, state.params)
+
+        for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(updates_ref),
+                jax.tree_util.tree_leaves(updates_tp)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6,
+                err_msg=jax.tree_util.keystr(path))
+
+    def test_tp_multi_step_matches_single(self, rng):
+        """K-step device loop under dp x tp tracks the single-device
+        trajectory exactly with dropout off."""
+        cfg, model, state, tx, mesh, model_tp, tx_tp = self._setup_tp(4, 2)
+        K = 2
+        batches = [make_batch(cfg, 8, rng) for _ in range(K)]
+        stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+
+        single = jax.jit(ts.make_multi_step(model, tx))
+        s1, m1 = single(state, stacked, jax.random.PRNGKey(9), 0.0)
+
+        sharded = pjit_step.shard_stacked_batch(stacked, mesh)
+        fn = pjit_step.make_shard_map_multi_step(
+            model_tp, tx_tp, mesh, tensor_parallel=True)(state, sharded)
+        s_in = jax.tree_util.tree_map(jnp.array, state)
+        s2, m2 = fn(s_in, sharded, jax.random.PRNGKey(9), 0.0)
+
+        assert int(s2.step) == K
+        np.testing.assert_allclose(np.asarray(m2["loss"]),
+                                   np.asarray(m1["loss"]), rtol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-5, atol=3e-6)
+
+    def test_tp_pallas_smoke(self, rng):
+        """dp x tp with the fused Pallas kernel per shard (interpret mode on
+        CPU; the per-shard head-slab shapes are chip-validated in
+        tests/test_tpu_dropout.py-style real-TPU runs)."""
+        cfg, model, state, tx, mesh, model_tp, tx_tp = self._setup_tp(
+            4, 2, pallas=True)
+        batch = make_batch(cfg, 8, rng)
+        make = pjit_step.make_shard_map_step(model_tp, tx_tp, mesh,
+                                             tensor_parallel=True,
+                                             mask_image_regions=True)
+        step = make(state, batch)
+        s2, m = step(state, batch, jax.random.PRNGKey(5), 0.0)
+        assert np.isfinite(float(m["loss"]))
+
+    def test_tp_requires_matching_model(self, rng):
+        cfg, model, state, tx, mesh, model_tp, tx_tp = self._setup_tp(2, 4)
+        with pytest.raises(AssertionError):
+            pjit_step.make_shard_map_step(model, tx_tp, mesh,
+                                          tensor_parallel=True)
+        with pytest.raises(AssertionError):
+            pjit_step.make_shard_map_step(model_tp, tx_tp, mesh,
+                                          tensor_parallel=False)
+
+
 class TestDataParallelDecode:
     @pytest.mark.parametrize("pallas", [False, True],
                              ids=["xla", "pallas_kernels"])

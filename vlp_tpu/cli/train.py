@@ -156,14 +156,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "pods (replaces the reference's file:// NCCL "
                         "rendezvous; coordinator comes from the TPU env)")
     p.add_argument("--tensor_parallel", type=int, default=0,
-                   help="shard attention heads / FFN / vocab over a "
-                        "'model' mesh axis of this size (GSPMD); composes "
-                        "with data parallelism (data = devices / tp).  "
-                        "Rides the XLA attention path — GSPMD cannot "
-                        "partition the Pallas custom calls — so pure-DP "
-                        "meshes (the default) keep the fused kernels.  "
-                        "Beyond the reference (its 110M BERT-base never "
-                        "needs TP); useful for memory headroom experiments")
+                   help="shard attention heads / FFN over a 'model' mesh "
+                        "axis of this size; composes with data parallelism "
+                        "(data = devices / tp).  Beyond the reference (its "
+                        "110M BERT-base never needs TP); useful for memory "
+                        "headroom at larger scale.  Default implementation "
+                        "is manual shard_map TP (Megatron f/g collectives, "
+                        "ops/tp.py), which KEEPS the fused Pallas kernels; "
+                        "see --tp_impl")
+    p.add_argument("--tp_impl", choices=("shard_map", "gspmd"),
+                   default="shard_map",
+                   help="tensor-parallel implementation: 'shard_map' "
+                        "(manual Megatron collectives, Pallas kernels per "
+                        "shard, composes with --device_loop_steps) or "
+                        "'gspmd' (compiler-inserted collectives incl. a "
+                        "vocab-sharded embedding; rides XLA attention — "
+                        "GSPMD cannot partition Mosaic custom calls)")
     return p
 
 
@@ -182,11 +190,14 @@ def make_config(args, vocab_size: int) -> VLPConfig:
         dtype=("float16" if getattr(args, "true_fp16", False)
                else "bfloat16" if (args.fp16 or on_tpu) else "float32"),
         # the Pallas kernels are validated for bf16/fp32; the fp16 parity
-        # path rides XLA attention, and GSPMD tensor parallelism cannot
-        # partition Mosaic custom calls (parallel/pjit_step.py docstring)
+        # path rides XLA attention.  GSPMD tensor parallelism cannot
+        # partition Mosaic custom calls (parallel/pjit_step.py docstring),
+        # but the default shard_map TP runs them per shard.
         use_pallas_attention=(on_tpu and not args.no_pallas
                               and not getattr(args, "true_fp16", False)
-                              and getattr(args, "tensor_parallel", 0) <= 1),
+                              and (getattr(args, "tensor_parallel", 0) <= 1
+                                   or getattr(args, "tp_impl", "shard_map")
+                                   == "shard_map")),
     )
     if args.max_position_embeddings:
         cfg = cfg.replace(max_position_embeddings=args.max_position_embeddings)
@@ -226,9 +237,10 @@ def main(argv=None):
         assert not args.scst and not args.true_fp16, \
             "--tensor_parallel composes with the default bf16 MLM/VQA " \
             "paths only"
-        if args.device_loop_steps > 1:
+        if args.tp_impl == "gspmd" and args.device_loop_steps > 1:
             # the GSPMD TP step has no device-loop variant; fall back to
-            # per-step dispatch rather than silently dropping TP
+            # per-step dispatch rather than silently dropping TP (the
+            # shard_map impl composes with the device loop)
             args.device_loop_steps = 1
 
     if args.jax_distributed:
@@ -311,11 +323,15 @@ def main(argv=None):
 
     # ---- model / state ---------------------------------------------------
     model = ts.create_model(cfg, args.tasks)
+    # shard_map TP: BertAdam's per-param clip must psum sharded leaves'
+    # norms over the model axis (optim.bert_adam docstring)
+    tp_clip_axis = ("model" if (args.tensor_parallel > 1
+                                and args.tp_impl == "shard_map") else None)
     state, tx = ts.create_train_state(
         model, cfg, jax.random.PRNGKey(args.seed), lr=args.learning_rate,
         warmup=args.warmup_proportion, t_total=t_total,
         schedule=args.sche_mode, weight_decay=args.weight_decay,
-        task=args.tasks)
+        task=args.tasks, clip_psum_axis=tp_clip_axis)
     loss_scale = None
     if args.true_fp16:
         if args.scst:
@@ -391,7 +407,8 @@ def main(argv=None):
                 args.learning_rate, init_params=state.params,
                 missing_key_substrings=("vis_fc", "vis_pe_fc", "ans_fc"),
                 warmup=args.warmup_proportion, t_total=t_total,
-                schedule=args.sche_mode, weight_decay=args.weight_decay)
+                schedule=args.sche_mode, weight_decay=args.weight_decay,
+                clip_psum_axis=tp_clip_axis)
             state = state._replace(opt_state=tx.init(state.params))
 
     if args.finetune_decay and (recover_gstep or recover_step):
@@ -410,7 +427,8 @@ def main(argv=None):
             args.learning_rate, init_params=anchor,
             missing_key_substrings=("vis_fc", "vis_pe_fc", "ans_fc"),
             warmup=args.warmup_proportion, t_total=t_total,
-            schedule=args.sche_mode, weight_decay=args.weight_decay)
+            schedule=args.sche_mode, weight_decay=args.weight_decay,
+            clip_psum_axis=tp_clip_axis)
 
     # ---- training --------------------------------------------------------
     # Data-parallel over all LOCAL chips via shard_map (params replicated,
@@ -419,9 +437,11 @@ def main(argv=None):
     # stays args.train_batch_size, split across chips, matching the
     # reference's DDP semantics of one data shard per GPU.
     mesh = None
+    step_model = model
     n_dev = len(jax.devices())
     accum = max(args.gradient_accumulation_steps, 1)
     tp = max(args.tensor_parallel, 1)
+    tp_shard_map = tp > 1 and args.tp_impl == "shard_map"
     if tp > 1:
         from vlp_tpu.parallel import pjit_step
         from vlp_tpu.parallel.mesh import make_mesh
@@ -430,10 +450,25 @@ def main(argv=None):
         assert args.train_batch_size % (max(dp_size, 1) * accum) == 0, \
             "batch must divide (devices/tp) * grad_accum"
         mesh = make_mesh(data=dp_size, model=tp)
-        state = pjit_step.shard_state(state, mesh, tensor_parallel=True)
-        logger.info("GSPMD training: dp=%d x tp=%d (XLA attention%s)",
-                    dp_size, tp,
-                    f", grad_accum={accum}" if accum > 1 else "")
+        if tp_shard_map:
+            assert (cfg.num_attention_heads % tp == 0
+                    and cfg.intermediate_size % tp == 0), \
+                "shard_map TP needs heads and FFN width divisible by tp"
+            # the step model inserts the Megatron f/g collectives itself
+            # (ops/tp.py); `model` (tp-off) keeps serving init/checkpointing
+            step_model = ts.create_model(cfg.replace(tp_axis="model"),
+                                         args.tasks)
+            state = pjit_step.shard_state_shard_map_tp(state, mesh)
+            logger.info(
+                "shard_map training: dp=%d x tp=%d (manual Megatron "
+                "collectives, %s attention%s)", dp_size, tp,
+                "Pallas" if cfg.use_pallas_attention else "XLA",
+                f", grad_accum={accum}" if accum > 1 else "")
+        else:
+            state = pjit_step.shard_state(state, mesh, tensor_parallel=True)
+            logger.info("GSPMD training: dp=%d x tp=%d (XLA attention%s)",
+                        dp_size, tp,
+                        f", grad_accum={accum}" if accum > 1 else "")
     elif (n_dev > 1 and not args.true_fp16
             and args.train_batch_size % (n_dev * accum) == 0):
         from jax.sharding import NamedSharding, PartitionSpec
@@ -464,25 +499,25 @@ def main(argv=None):
     elif args.device_loop_steps > 1:
         if mesh is not None:
             multi_make = pjit_step.make_shard_map_multi_step(
-                model, tx, mesh,
+                step_model, tx, mesh,
                 mask_image_regions=args.mask_image_regions, task=args.tasks,
-                grad_accum=accum)
+                grad_accum=accum, tensor_parallel=tp_shard_map)
         else:
             multi_fn = jax.jit(ts.make_multi_step(
                 model, tx, mask_image_regions=args.mask_image_regions,
                 task=args.tasks, loss_scale=loss_scale, grad_accum=accum),
                 donate_argnums=(0,))
     else:
-        if mesh is not None and tp > 1:
+        if mesh is not None and tp > 1 and not tp_shard_map:
             step_make = pjit_step.make_pjit_train_step(
                 model, tx, mesh, tensor_parallel=True,
                 mask_image_regions=args.mask_image_regions, task=args.tasks,
                 grad_accum=accum)
         elif mesh is not None:
             step_make = pjit_step.make_shard_map_step(
-                model, tx, mesh,
+                step_model, tx, mesh,
                 mask_image_regions=args.mask_image_regions, task=args.tasks,
-                grad_accum=accum)
+                grad_accum=accum, tensor_parallel=tp_shard_map)
         else:
             step_fn = jax.jit(ts.make_train_step(
                 model, tx, mask_image_regions=args.mask_image_regions,

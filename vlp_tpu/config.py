@@ -69,6 +69,17 @@ class VLPConfig:
                                          # kernel concat outweighs the saved
                                          # activation reads.  Off by default.
 
+    # Manual tensor parallelism (shard_map): the bound mesh-axis name over
+    # which attention heads and FFN columns are sharded.  When set, the
+    # model inserts the Megatron f/g collectives (ops/tp.py) itself and
+    # derives per-shard head counts from the actual parameter shapes, so
+    # every shard runs the ordinary single-device program — Pallas kernels
+    # included (GSPMD TP cannot partition Mosaic custom calls and must ride
+    # XLA attention).  Only the training forward supports it; build the
+    # step model with cfg.replace(tp_axis="model") and shard params with
+    # parallel/mesh.tp_param_specs.  None = off (every other code path).
+    tp_axis: "str | None" = None
+
     # The reference INTENDS to block masked-region attention columns
     # (seq2seq_loader.py:303-304) but `input_mask[:, pos].fill_(0)` writes to
     # an advanced-indexing copy — a silent no-op on every torch version, so

@@ -36,6 +36,7 @@ from vlp_tpu.config import MODE_S2S, VLPConfig
 from vlp_tpu.ops import attention as attn_ops
 from vlp_tpu.ops import decode_attention as decode_attn_ops
 from vlp_tpu.ops import masks as mask_ops
+from vlp_tpu.ops import tp as tp_ops
 
 Array = jnp.ndarray
 
@@ -128,10 +129,13 @@ class TransformerLayer(nn.Module):
         self.act = ACT[cfg.hidden_act]
 
     def _heads(self, x: Array) -> Array:
-        B, L, _ = x.shape
-        cfg = self.cfg
-        return x.reshape(B, L, cfg.num_attention_heads, cfg.head_dim
-                         ).transpose(0, 2, 1, 3)  # [B,H,L,D]
+        # head count derived from the projection width, not cfg: under
+        # shard_map tensor parallelism (cfg.tp_axis) each shard holds
+        # num_attention_heads / tp heads and the kernels are the local
+        # column shards
+        B, L, HD = x.shape
+        D = self.cfg.head_dim
+        return x.reshape(B, L, HD // D, D).transpose(0, 2, 1, 3)  # [B,H,L,D]
 
     def _merge(self, x: Array) -> Array:
         B, H, L, D = x.shape
@@ -142,15 +146,57 @@ class TransformerLayer(nn.Module):
         (None when dropout is off)."""
         if rate <= 0.0:
             return None
-        return jax.random.randint(self.make_rng("dropout"), (B,), 0,
-                                  2 ** 31 - 1)
+        key = self.make_rng("dropout")
+        if self.cfg.tp_axis is not None:
+            # distinct in-kernel dropout streams per head shard; the
+            # hidden-dropout streams must stay IDENTICAL across the model
+            # axis (they mask replicated activations), so only the
+            # attention-kernel seeds fold the axis index
+            key = jax.random.fold_in(key,
+                                     jax.lax.axis_index(self.cfg.tp_axis))
+        return jax.random.randint(key, (B,), 0, 2 ** 31 - 1)
+
+    def _col_parallel(self, dense: nn.Dense, x: Array) -> Array:
+        """Column-parallel matmul under shard_map TP: the kernel/bias the
+        scope holds are the local output-column shards, which plain Dense
+        rejects (apply-time shape validation against ``features``); the
+        manual dot accepts any width.  Input must already be wrapped by
+        ``_branch``.  Plain Dense when TP is off or at init."""
+        if self.cfg.tp_axis is None or self.is_initializing():
+            return dense(x)
+        kern = dense.variables["params"]["kernel"].astype(x.dtype)
+        b = dense.variables["params"]["bias"].astype(x.dtype)
+        return jnp.dot(x, kern) + b
+
+    def _row_parallel(self, dense: nn.Dense, x: Array) -> Array:
+        """Row-parallel matmul under shard_map TP: local partial product,
+        psum over the model axis (Megatron "g", ops/tp.py), bias added once
+        AFTER the reduction (the plain Dense would add its bias per shard
+        and the psum would multiply it by tp).  Plain Dense when TP is off
+        or at init (kernel variables don't exist yet; init always runs on
+        full shapes outside the mesh)."""
+        axis = self.cfg.tp_axis
+        if axis is None or self.is_initializing():
+            return dense(x)
+        kern = dense.variables["params"]["kernel"].astype(x.dtype)
+        b = dense.variables["params"]["bias"].astype(x.dtype)
+        return tp_ops.sum_partial(jnp.dot(x, kern), axis) + b
+
+    def _branch(self, x: Array) -> Array:
+        """Mark a replicated activation entering a column-parallel branch
+        (Megatron "f"): identity forward, psum of cotangents backward, so
+        gradients of everything upstream stay exact under TP."""
+        if self.cfg.tp_axis is None:
+            return x
+        return tp_ops.replicate_for_branch(x, self.cfg.tp_axis)
 
     def _post_attention(self, ctx: Array, residual: Array,
                         deterministic: bool) -> Array:
-        h = self.out_proj(ctx)
+        h = self._row_parallel(self.out_proj, ctx)
         h = self.dropout(h, deterministic=deterministic)
         h = self.attn_ln(h + residual).astype(ctx.dtype)
-        f = self.ffn_out(self.act(self.ffn_in(h)))
+        f = self._row_parallel(self.ffn_out, self.act(self._col_parallel(
+            self.ffn_in, self._branch(h))))
         f = self.dropout(f, deterministic=deterministic)
         return self.ffn_ln(f + h).astype(ctx.dtype)
 
@@ -164,13 +210,13 @@ class TransformerLayer(nn.Module):
         """
         cfg = self.cfg
         rate = cfg.attention_probs_dropout_prob if not deterministic else 0.0
+        xb = self._branch(x)  # no-op unless shard_map TP is active
         if cfg.use_pallas_attention:
             # [B,L,H,D] straight off the projections (reshape = bitcast):
             # the kernel loops heads internally, so the [B,H,L,D] transpose
             # — one physical copy per q/k/v/out and per backward tensor per
             # layer, ~15% of the pretraining step — never materialises.
             B, L, _ = x.shape
-            hd = (cfg.num_attention_heads, cfg.head_dim)
             if cfg.fuse_qkv_proj and not self.is_initializing():
                 # one [768, 3*768] matmul instead of three: reads x once.
                 # Block-column dot == three separate dots bitwise (same
@@ -187,23 +233,26 @@ class TransformerLayer(nn.Module):
                     [self.q_proj.variables["params"]["bias"],
                      self.k_proj.variables["params"]["bias"],
                      self.v_proj.variables["params"]["bias"]]).astype(dt)
-                qkv = jnp.dot(x.astype(dt), kern) + bias3
-                q, k, v = (qkv[..., i * cfg.hidden_size:
-                               (i + 1) * cfg.hidden_size].reshape(B, L, *hd)
+                qkv = jnp.dot(xb.astype(dt), kern) + bias3
+                w = kern.shape[1] // 3  # local width (= hidden/tp under TP)
+                hd = (w // cfg.head_dim, cfg.head_dim)
+                q, k, v = (qkv[..., i * w:(i + 1) * w].reshape(B, L, *hd)
                            for i in range(3))
             else:
-                q = self.q_proj(x).reshape(B, L, *hd)
-                k = self.k_proj(x).reshape(B, L, *hd)
-                v = self.v_proj(x).reshape(B, L, *hd)
+                q = self._col_parallel(self.q_proj, xb)
+                hd = (q.shape[-1] // cfg.head_dim, cfg.head_dim)
+                q = q.reshape(B, L, *hd)
+                k = self._col_parallel(self.k_proj, xb).reshape(B, L, *hd)
+                v = self._col_parallel(self.v_proj, xb).reshape(B, L, *hd)
             ctx = attn_ops.attention_pallas(
                 q, k, v, mode, text_end, colkeep, prefix=cfg.prefix_len,
                 dropout_rate=rate,
                 dropout_seed=self._attn_seed(B, rate), layout="blhd")
-            ctx = ctx.reshape(B, L, cfg.hidden_size)
+            ctx = ctx.reshape(B, L, hd[0] * hd[1])
         else:
-            q = self._heads(self.q_proj(x))
-            k = self._heads(self.k_proj(x))
-            v = self._heads(self.v_proj(x))
+            q = self._heads(self._col_parallel(self.q_proj, xb))
+            k = self._heads(self._col_parallel(self.k_proj, xb))
+            v = self._heads(self._col_parallel(self.v_proj, xb))
             rng = self.make_rng("dropout") if rate > 0.0 else None
             ctx = self._merge(attn_ops.attention_xla(
                 q, k, v, bias, dropout_rate=rate, dropout_rng=rng))

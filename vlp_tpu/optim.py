@@ -68,18 +68,67 @@ def default_weight_decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(_is_decay, params)
 
 
+def default_tp_clip_mask(params) -> Any:
+    """True for leaves the shard_map TP step shards over the model axis
+    (mesh.shard_map_tp_pspec): their per-parameter clip must compute the
+    FULL parameter's gradient norm, i.e. psum the squared norm across
+    shards — a local-shard norm would clip differently than the reference's
+    whole-parameter ``clip_grad_norm_`` (optimization.py:146-147)."""
+    from vlp_tpu.parallel.mesh import shard_map_tp_pspec
+
+    def _is_sharded(path, leaf) -> bool:
+        names = [p.key for p in path if hasattr(p, "key")]
+        return any(d == "model" for d in shard_map_tp_pspec(names))
+    return jax.tree_util.tree_map_with_path(_is_sharded, params)
+
+
+def _make_clip(max_grad_norm: float, clip_psum_axis: Optional[str],
+               clip_psum_mask: Optional[Any]):
+    """Per-parameter clip closure shared by bert_adam / bert_adam_finetune.
+    Returns grads_fn(grads, params) -> clipped fp32 grads."""
+    def clip(g, sharded=False):
+        g32 = g.astype(jnp.float32)
+        if max_grad_norm <= 0:
+            return g32
+        sumsq = jnp.sum(g32 * g32)
+        if sharded:
+            sumsq = jax.lax.psum(sumsq, clip_psum_axis)
+        norm = jnp.sqrt(sumsq)
+        scale = jnp.where(norm > max_grad_norm,
+                          max_grad_norm / (norm + 1e-6), 1.0)
+        return g32 * scale
+
+    def grads_fn(grads, params):
+        if clip_psum_axis is None:
+            return jax.tree_util.tree_map(clip, grads)
+        mask = (clip_psum_mask if clip_psum_mask is not None
+                else default_tp_clip_mask(params))
+        return jax.tree_util.tree_map(clip, grads, mask)
+
+    return grads_fn
+
+
 def bert_adam(lr: float, *, warmup: float = -1.0, t_total: int = -1,
               schedule: str = "warmup_linear", b1: float = 0.9,
               b2: float = 0.999, eps: float = 1e-6,
               weight_decay: float = 0.01, max_grad_norm: float = 1.0,
-              weight_decay_mask: Optional[Any] = None
+              weight_decay_mask: Optional[Any] = None,
+              clip_psum_axis: Optional[str] = None,
+              clip_psum_mask: Optional[Any] = None
               ) -> optax.GradientTransformation:
     """Build the BertAdam gradient transformation.
 
     ``weight_decay_mask`` is a pytree of bools (True = apply decay); if None,
     `default_weight_decay_mask` is computed from the params at init.
+
+    ``clip_psum_axis`` (shard_map TP only): mesh-axis name over which
+    tensor-parallel-sharded leaves' clip norms are psum'd so the clip sees
+    the full parameter's norm; ``clip_psum_mask`` marks those leaves
+    (None = `default_tp_clip_mask`).  Every other part of the update is
+    elementwise and therefore shard-exact without collectives.
     """
     sched = SCHEDULES[schedule]
+    clip_grads = _make_clip(max_grad_norm, clip_psum_axis, clip_psum_mask)
 
     def init_fn(params):
         zeros = jax.tree_util.tree_map(
@@ -92,16 +141,7 @@ def bert_adam(lr: float, *, warmup: float = -1.0, t_total: int = -1,
         mask = (weight_decay_mask if weight_decay_mask is not None
                 else default_weight_decay_mask(params))
 
-        def clip(g):
-            g32 = g.astype(jnp.float32)
-            if max_grad_norm <= 0:
-                return g32
-            norm = jnp.sqrt(jnp.sum(g32 * g32))
-            scale = jnp.where(norm > max_grad_norm,
-                              max_grad_norm / (norm + 1e-6), 1.0)
-            return g32 * scale
-
-        grads = jax.tree_util.tree_map(clip, grads)
+        grads = clip_grads(grads, params)
         new_m = jax.tree_util.tree_map(
             lambda m, g: b1 * m + (1 - b1) * g, state.m, grads)
         new_v = jax.tree_util.tree_map(
@@ -129,15 +169,21 @@ def bert_adam_finetune(lr: float, *, init_params, missing_key_substrings=(),
                        schedule: str = "warmup_linear", b1: float = 0.9,
                        b2: float = 0.999, eps: float = 1e-6,
                        weight_decay: float = 0.01, max_grad_norm: float = 1.0,
-                       weight_decay_mask=None) -> optax.GradientTransformation:
+                       weight_decay_mask=None,
+                       clip_psum_axis: Optional[str] = None,
+                       clip_psum_mask: Optional[Any] = None
+                       ) -> optax.GradientTransformation:
     """Fine-tune-anchored BertAdam (reference BertAdamFineTune,
     optimization.py:185-283): the decay term becomes
     ``wd * (2*p - p_init)`` — decaying toward the initial weights instead of
     zero.  Parameters whose path contains any of ``missing_key_substrings``
     (freshly initialized heads, reference optimization.py:196-201) use a
     zeroed anchor, i.e. plain decay.
+
+    ``clip_psum_axis``/``clip_psum_mask``: see `bert_adam` (shard_map TP).
     """
     sched = SCHEDULES[schedule]
+    clip_grads = _make_clip(max_grad_norm, clip_psum_axis, clip_psum_mask)
 
     def _anchor(path, leaf):
         names = "/".join(p.key for p in path if hasattr(p, "key"))
@@ -158,16 +204,7 @@ def bert_adam_finetune(lr: float, *, init_params, missing_key_substrings=(),
         mask = (weight_decay_mask if weight_decay_mask is not None
                 else default_weight_decay_mask(params))
 
-        def clip(g):
-            g32 = g.astype(jnp.float32)
-            if max_grad_norm <= 0:
-                return g32
-            norm = jnp.sqrt(jnp.sum(g32 * g32))
-            scale = jnp.where(norm > max_grad_norm,
-                              max_grad_norm / (norm + 1e-6), 1.0)
-            return g32 * scale
-
-        grads = jax.tree_util.tree_map(clip, grads)
+        grads = clip_grads(grads, params)
         new_m = jax.tree_util.tree_map(
             lambda m, g: b1 * m + (1 - b1) * g, state.m, grads)
         new_v = jax.tree_util.tree_map(

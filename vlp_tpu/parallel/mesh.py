@@ -82,3 +82,46 @@ def param_sharding_tree(params, mesh: Mesh, tensor_parallel: bool = True):
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# --- manual (shard_map) tensor parallelism ---------------------------------
+# Megatron-style head/FFN sharding for the shard_map TP step, which keeps
+# the Pallas kernels (the model inserts the f/g collectives itself,
+# ops/tp.py).  Narrower than the GSPMD rules above on purpose: embeddings
+# and every head stay replicated (a vocab-sharded embedding lookup needs
+# masked-gather + psum machinery that a 23M-row table doesn't justify), and
+# row-parallel biases stay replicated because the model adds them AFTER the
+# psum.
+
+_TP_COL = ("q_proj", "k_proj", "v_proj", "ffn_in")    # shard output dim
+_TP_ROW = ("out_proj", "ffn_out")                     # shard input dim
+
+
+def shard_map_tp_pspec(path_names: Sequence[str]) -> P:
+    """Partition spec of one parameter under the manual shard_map TP step."""
+    if len(path_names) < 2:
+        return P()
+    parent, last = path_names[-2], path_names[-1]
+    if parent in _TP_COL:
+        # kernel [in, out] shards out; the bias rides the same output dim
+        return P(None, "model") if last == "kernel" else P("model")
+    if parent in _TP_ROW and last == "kernel":
+        return P("model", None)
+    return P()
+
+
+def tp_param_specs(params, tp: int):
+    """PartitionSpec pytree for shard_map in/out_specs (params or a
+    same-structure moment tree).  Asserts divisibility instead of silently
+    replicating: a replicated q_proj next to sharded k_proj would change
+    the attention width mid-layer."""
+    def _spec(path, leaf):
+        names = [p.key for p in path if hasattr(p, "key")]
+        spec = shard_map_tp_pspec(names)
+        for axis, d in enumerate(spec):
+            if d == "model":
+                assert leaf.shape[axis] % tp == 0, (
+                    f"{'/'.join(names)} dim {axis} ({leaf.shape[axis]}) "
+                    f"not divisible by tensor_parallel={tp}")
+        return spec
+    return jax.tree_util.tree_map_with_path(_spec, params)

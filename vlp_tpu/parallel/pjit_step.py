@@ -7,8 +7,11 @@ multi-chip analogue of the reference's DDP loop
 
 Note: the Pallas fused-attention kernel is a single-device kernel; under
 GSPMD tensor parallelism the XLA attention path is used instead (XLA
-partitions the einsums over heads).  Data-parallel-only meshes can keep
-Pallas by running the step under shard_map — see ``make_shard_map_step``.
+partitions the einsums over heads).  shard_map keeps Pallas in BOTH
+regimes: data-parallel (``make_shard_map_step``) and, since round 3,
+dp x tp with manual Megatron f/g collectives (``tensor_parallel=True`` on
+the shard_map factories — the model inserts the collectives itself, see
+ops/tp.py and VLPConfig.tp_axis).
 """
 
 from __future__ import annotations
@@ -78,19 +81,73 @@ def make_pjit_train_step(model: VLPModel, tx: optax.GradientTransformation,
     return make
 
 
+def _shard_map_state_specs(state: ts.TrainState, mesh: Mesh,
+                           tensor_parallel: bool):
+    """PartitionSpec pytree for the TrainState under shard_map: fully
+    replicated for pure DP; head/FFN-sharded params + moments for manual
+    TP (mesh.tp_param_specs — the optimizer is elementwise, so m/v shard
+    exactly like their parameters)."""
+    if not tensor_parallel:
+        return jax.tree_util.tree_map(lambda _: P(), state)
+    tp = mesh.shape["model"]
+    opt = state.opt_state
+    return ts.TrainState(
+        params=mesh_lib.tp_param_specs(state.params, tp),
+        opt_state=type(opt)(step=P(),
+                            m=mesh_lib.tp_param_specs(opt.m, tp),
+                            v=mesh_lib.tp_param_specs(opt.v, tp)),
+        step=P())
+
+
+def shard_state_shard_map_tp(state: ts.TrainState, mesh: Mesh
+                             ) -> ts.TrainState:
+    """Place a full (replicated-shape) TrainState onto the mesh with the
+    manual-TP layout (mesh.tp_param_specs), so the first shard_map TP step
+    doesn't pay a resharding transfer."""
+    specs = _shard_map_state_specs(state, mesh, tensor_parallel=True)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
+
+
+def _check_tp_args(model: VLPModel, mesh: Mesh, tensor_parallel: bool):
+    if tensor_parallel:
+        assert mesh.shape.get("model", 1) > 1, \
+            "tensor_parallel=True needs a 'model' mesh axis > 1"
+        assert model.cfg.tp_axis == "model", \
+            "build the step model with cfg.replace(tp_axis='model') so it " \
+            "inserts the f/g collectives (and the tx with " \
+            "clip_psum_axis='model' for reference-exact per-param clipping)"
+    else:
+        assert model.cfg.tp_axis is None, \
+            "model has tp_axis set but tensor_parallel=False"
+
+
+def _meta_model(model: VLPModel) -> VLPModel:
+    """tp-off twin used only for `jax.eval_shape` metrics-structure traces:
+    the TP model's f/g collectives cannot be traced outside shard_map (no
+    bound axis), and the metrics pytree structure is identical."""
+    if model.cfg.tp_axis is None:
+        return model
+    return VLPModel(model.cfg.replace(tp_axis=None),
+                    with_vqa=model.with_vqa)
+
+
 def make_shard_map_multi_step(model: VLPModel,
                               tx: optax.GradientTransformation, mesh: Mesh,
                               *, mask_image_regions: bool = False,
-                              task: str = "img2txt", grad_accum: int = 1):
+                              task: str = "img2txt", grad_accum: int = 1,
+                              tensor_parallel: bool = False):
     """Device-loop analogue of ``make_shard_map_step``: K optimizer steps
     scanned per dispatch (train_step.make_multi_step) with the batch dim
     sharded over the mesh's ``data`` axis and grads pmean'd on ICI each
     step.  Params/optimizer replicated; Pallas attention runs per shard.
     Returns ``make(state, stacked_batch) -> fn`` like the single-step
     factory; ``stacked_batch`` is ``[K, B_global, ...]``.
-    ``grad_accum`` composes as in ``make_shard_map_step``.
+    ``grad_accum`` composes as in ``make_shard_map_step``; so does
+    ``tensor_parallel`` (manual TP — see ``make_shard_map_step``).
     """
     from jax import shard_map
+    _check_tp_args(model, mesh, tensor_parallel)
 
     def local_multi(state, stacked, rng, ratio):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
@@ -116,18 +173,19 @@ def make_shard_map_multi_step(model: VLPModel,
     def make(state, stacked):
         one_batch = jax.tree_util.tree_map(lambda x: x[0], stacked)
         _, metrics_tree = jax.eval_shape(
-            functools.partial(ts.loss_fn, model, task=task,
+            functools.partial(ts.loss_fn, _meta_model(model), task=task,
                               mask_image_regions=mask_image_regions,
                               drop_worst_ratio=0.0),
             state.params, one_batch, jax.random.PRNGKey(0))
+        st_specs = _shard_map_state_specs(state, mesh, tensor_parallel)
         fn = shard_map(
             local_multi, mesh=mesh,
-            in_specs=(jax.tree_util.tree_map(lambda _: rep, state),
+            in_specs=(st_specs,
                       jax.tree_util.tree_map(
                           lambda x: P(None, "data",
                                       *([None] * (x.ndim - 2))), stacked),
                       rep, rep),
-            out_specs=(jax.tree_util.tree_map(lambda _: rep, state),
+            out_specs=(st_specs,
                        jax.tree_util.tree_map(lambda _: rep, metrics_tree)),
             check_vma=False)
         return jax.jit(fn, donate_argnums=(0,))
@@ -145,7 +203,8 @@ def shard_stacked_batch(stacked, mesh: Mesh):
 
 def make_shard_map_step(model: VLPModel, tx: optax.GradientTransformation,
                         mesh: Mesh, *, mask_image_regions: bool = False,
-                        task: str = "img2txt", grad_accum: int = 1):
+                        task: str = "img2txt", grad_accum: int = 1,
+                        tensor_parallel: bool = False):
     """Data-parallel step via shard_map: params replicated, batch sharded over
     'data', grads pmean'd explicitly.  Pallas attention runs per-shard, so
     this path keeps the fused kernel in the multi-chip regime.
@@ -155,8 +214,22 @@ def make_shard_map_step(model: VLPModel, tx: optax.GradientTransformation,
     the single pmean — composing accumulation with data parallelism like the
     reference's DDP + accumulation (run_img2txt_dist.py:111-114, 566-575),
     with one gradient reduction per optimizer step (DDP likewise all-reduces
-    once, on the non-no_sync backward)."""
+    once, on the non-no_sync backward).
+
+    ``tensor_parallel=True`` (manual Megatron TP, beyond the reference):
+    attention heads + FFN columns shard over the mesh's 'model' axis per
+    mesh.tp_param_specs, the batch shards over 'data' and replicates over
+    'model', and the model — built with ``cfg.tp_axis='model'`` — inserts
+    the f/g collectives itself (ops/tp.py), which keeps every gradient
+    exact WITHOUT any model-axis gradient reduction here: sharded leaves'
+    grads are exactly their shard of the full gradient, replicated leaves'
+    grads are full and identical on every shard.  Unlike the GSPMD TP path
+    (make_pjit_train_step) this keeps the fused Pallas kernels, because
+    every shard runs an ordinary single-device program.  Build the tx with
+    ``clip_psum_axis='model'`` so BertAdam's per-parameter clip sees full-
+    parameter norms."""
     from jax import shard_map
+    _check_tp_args(model, mesh, tensor_parallel)
 
     def local_step(state, batch, rng, ratio):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
@@ -182,15 +255,15 @@ def make_shard_map_step(model: VLPModel, tx: optax.GradientTransformation,
         # a key in pretrain_losses can never desynchronise these out_specs
         # from the single-chip path (was a hard-coded key list)
         _, metrics_tree = jax.eval_shape(
-            functools.partial(ts.loss_fn, model, task=task,
+            functools.partial(ts.loss_fn, _meta_model(model), task=task,
                               mask_image_regions=mask_image_regions,
                               drop_worst_ratio=0.0),
             state.params, batch, jax.random.PRNGKey(0))
+        st_specs = _shard_map_state_specs(state, mesh, tensor_parallel)
         fn = shard_map(
             local_step, mesh=mesh,
-            in_specs=(jax.tree_util.tree_map(lambda _: rep, state),
-                      batch_specs(batch), rep, rep),
-            out_specs=(jax.tree_util.tree_map(lambda _: rep, state),
+            in_specs=(st_specs, batch_specs(batch), rep, rep),
+            out_specs=(st_specs,
                        jax.tree_util.tree_map(lambda _: rep, metrics_tree)),
             check_vma=False)
         return jax.jit(fn)

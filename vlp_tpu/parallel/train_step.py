@@ -83,21 +83,28 @@ def dummy_batch(cfg: VLPConfig, batch_size: int, task: str = "img2txt"
 
 def make_optimizer(cfg: VLPConfig, params, *, lr: float, warmup: float = 0.1,
                    t_total: int = -1, schedule: str = "warmup_linear",
-                   weight_decay: float = 0.01) -> optax.GradientTransformation:
+                   weight_decay: float = 0.01,
+                   clip_psum_axis: str = None) -> optax.GradientTransformation:
+    """``clip_psum_axis``: set to the mesh's model-axis name when the step
+    runs under shard_map tensor parallelism, so the per-parameter clip sees
+    full-parameter norms (optim.bert_adam docstring)."""
     mask = optim_lib.default_weight_decay_mask(params)
     return optim_lib.bert_adam(
         lr, warmup=warmup, t_total=t_total, schedule=schedule,
-        weight_decay=weight_decay, weight_decay_mask=mask)
+        weight_decay=weight_decay, weight_decay_mask=mask,
+        clip_psum_axis=clip_psum_axis)
 
 
 def create_train_state(model: VLPModel, cfg: VLPConfig, rng, *, lr: float,
                        warmup: float = 0.1, t_total: int = -1,
                        schedule: str = "warmup_linear",
                        weight_decay: float = 0.01,
-                       task: str = "img2txt"):
+                       task: str = "img2txt",
+                       clip_psum_axis: str = None):
     params = init_params(model, cfg, rng, task)
     tx = make_optimizer(cfg, params, lr=lr, warmup=warmup, t_total=t_total,
-                        schedule=schedule, weight_decay=weight_decay)
+                        schedule=schedule, weight_decay=weight_decay,
+                        clip_psum_axis=clip_psum_axis)
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.zeros((), jnp.int32)), tx
 
