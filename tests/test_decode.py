@@ -199,11 +199,13 @@ class TestExactTopkBlocks:
         from vlp_tpu.decode import _exact_topk_blocks
         for V, C in ((30522, 23), (5000, 8), (1024, 6), (4097, 30)):
             logits = jnp.asarray(rng.normal(size=(7, V)).astype(np.float32))
-            vals, ids = _exact_topk_blocks(logits, C)
             rvals, rids = jax.lax.top_k(logits, C)
-            np.testing.assert_array_equal(np.asarray(vals),
-                                          np.asarray(rvals))
-            np.testing.assert_array_equal(np.asarray(ids), np.asarray(rids))
+            for block in (32, 64, 512):
+                vals, ids = _exact_topk_blocks(logits, C, block=block)
+                np.testing.assert_array_equal(np.asarray(vals),
+                                              np.asarray(rvals))
+                np.testing.assert_array_equal(np.asarray(ids),
+                                              np.asarray(rids))
 
 
 class TestPallasDecodeKernel:

@@ -31,8 +31,9 @@ def main():
                     help="comma list: kernel (fused Pallas decode step), "
                          "xla (einsum path); suffixes -onehot (one-hot "
                          "cache reorder), -approx (approx_max_k first "
-                         "stage), -blocktopk (block-max-prefilter exact "
-                         "top-k).  No suffix = shipped defaults.")
+                         "stage), -blocktopkN (block-max-prefilter exact "
+                         "top-k, width N), -fulltopk (lax.top_k custom "
+                         "call).  No suffix = shipped defaults.")
     args = ap.parse_args()
 
     import dataclasses
@@ -42,13 +43,22 @@ def main():
     cfg, model, params, dec0, batch = setup_decode(
         args.batch, args.beam, args.max_tgt_length, forbid_ngrams=True)
 
+    import re
+
     variants = {}
     for name in args.variants.split(","):
         reorder = "onehot" if name.endswith("onehot") else "gather"
+        blk = re.search(r"blocktopk(\d*)$", name)
+        kw = {}
+        if blk:
+            kw = dict(topk_impl="blocks",
+                      topk_block=int(blk.group(1)) if blk.group(1)
+                      else dec0.dp.topk_block)
+        elif name.endswith("fulltopk"):
+            kw = dict(topk_impl="full")
         dp = dataclasses.replace(
             dec0.dp, reorder_impl=reorder,
-            approx_topk=name.endswith("approx"),
-            topk_impl="blocks" if name.endswith("blocktopk") else "full")
+            approx_topk=name.endswith("approx"), **kw)
         cfg_v = dataclasses.replace(
             cfg, use_pallas_decode=name.startswith("kernel"))
         variants[name] = Decoder(VLPModel(cfg_v), cfg_v, dp)

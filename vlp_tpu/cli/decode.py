@@ -76,6 +76,17 @@ def build_parser():
                         "(jax.lax.approx_max_k, recall 0.99): ~8% faster "
                         "beam decode; a missed candidate can shift a beam, "
                         "so off by default for reference trace parity")
+    p.add_argument("--topk_impl", default="blocks",
+                   choices=("blocks", "full"),
+                   help="exact first-stage vocab top-k: 'blocks' "
+                        "(block-max prefilter, default — measured ~11%% "
+                        "faster beam decode) or 'full' (one lax.top_k "
+                        "custom call; bit-identical tie-breaking on "
+                        "exactly-equal logits)")
+    p.add_argument("--topk_block", type=int, default=32,
+                   help="prefilter block width for --topk_impl blocks "
+                        "(lane-divisor widths measured best; see "
+                        "DecodeParams.topk_impl)")
     return p
 
 
@@ -135,7 +146,8 @@ def main(argv=None):
         ngram_size=args.ngram_size, min_len=args.min_len or 0,
         max_tgt_length=args.max_tgt_length,
         forbid_ignore_ids=forbid_ignore_ids,
-        approx_topk=args.approx_topk)
+        approx_topk=args.approx_topk,
+        topk_impl=args.topk_impl, topk_block=args.topk_block)
     # data-parallel decode over all local devices (the reference is
     # single-GPU at inference, README.md:205)
     mesh = None

@@ -60,12 +60,18 @@ class DecodeParams:
     # exact for reference trace parity; serving deployments that want the
     # last ~1.5 ms/step can enable it (recall_target 0.99).
     approx_topk: bool = False
-    # exact first-stage impl: "full" (one lax.top_k custom call, default)
-    # or "blocks" (block-max prefilter, also exact — _exact_topk_blocks).
-    # Measured on v5e (interleaved A/B): full 563 vs blocks 524
-    # captions/sec — the prefilter's candidate-block gather costs more
-    # than the narrower final top-k saves.  Kept as a measured option.
-    topk_impl: str = "full"
+    # exact first-stage impl: "blocks" (block-max prefilter, default —
+    # _exact_topk_blocks) or "full" (one lax.top_k custom call).  The
+    # profiled TopK custom call runs ~43x its read-bandwidth floor
+    # (DESIGN.md r03 serving profile); the prefilter replaces it with a
+    # max-reduce pass plus two narrow top-ks.  Block width matters
+    # (candidate width = C * topk_block, and non-lane-divisor widths
+    # lose): interleaved A/B on v5e, captions/sec —
+    #   B=100: full 581, block32 645, block64 630
+    #   B=400: full 616, block32 642, block64 641, block48 607,
+    #          block96 614, block128 636, block256 625, block512 524(r2)
+    topk_impl: str = "blocks"
+    topk_block: int = 32
     # beam-reorder implementation for the generated K/V caches: "gather"
     # (row gather, default) or "onehot" (batched one-hot MXU contraction).
     # The gather lowers to a serialized per-row slice+update loop in HLO,
@@ -130,8 +136,9 @@ def _exact_topk_blocks(logits: jnp.ndarray, C: int, block: int = 512
     VALUE-exact only: under exactly-tied logits the returned ids can
     tie-break differently from ``lax.top_k``'s lowest-index rule (the
     second stage sorts a block-max-ordered candidate buffer).  Ties are
-    measure-zero for real logits; the shipped default is "full" anyway
-    (and measured faster — see DecodeParams.topk_impl).
+    measure-zero for real logits (the e2e interop test decodes a trained
+    checkpoint through this path token-for-token against the reference
+    beam search); ``topk_impl="full"`` restores lax.top_k exactly.
     """
     R, V = logits.shape
     nb = -(-V // block)
@@ -398,7 +405,8 @@ class Decoder:
             topv, topi = jax.lax.approx_max_k(logits, C,
                                               recall_target=0.99)
         elif dp.topk_impl == "blocks" and V > 4096:
-            topv, topi = _exact_topk_blocks(logits, C)           # [B*K, C]
+            topv, topi = _exact_topk_blocks(logits, C,
+                                            block=dp.topk_block)  # [B*K, C]
         else:
             topv, topi = jax.lax.top_k(logits, C)                # [B*K, C]
         vals = topv - lse[:, None]
