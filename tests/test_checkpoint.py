@@ -123,6 +123,54 @@ class TestSurgery:
                 4, cfg1.hidden_size, cfg1.hidden_size)[2])
 
 
+class TestOrbaxRelaxAdaptation:
+    """``load_model_checkpoint`` adapts orbax checkpoints whose MLM head
+    width disagrees with the template, in BOTH directions (orbax silently
+    returns the STORED shapes, so shape checks after restore are the only
+    guard): multi-head -> collapsed selects head task_idx (the reference
+    decoder's from_pretrained surgery, modeling.py:723-732); collapsed ->
+    multi-head tiles (the n_state_relax==1 branch, modeling.py:716-721)."""
+
+    def _save(self, tree, path):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), ckpt.jax_tree_to_numpy(tree),
+                   force=True)
+        ckptr.wait_until_finished()
+
+    def test_both_directions(self, rng, tmp_path):
+        H = 32
+        cfg4 = tiny_cfg(relax_projection=4)
+        cfg1 = tiny_cfg(relax_projection=0)
+        params4 = ts.init_params(VLPModel(cfg4), cfg4, jax.random.PRNGKey(0))
+        params1 = ts.init_params(VLPModel(cfg1), cfg1, jax.random.PRNGKey(1))
+
+        p4_dir = str(tmp_path / "model4")
+        self._save(params4, p4_dir)
+        got = ckpt.load_model_checkpoint(p4_dir, cfg1, params1, task_idx=2)
+        k4 = np.asarray(params4["mlm"]["transform_dense"]["kernel"])
+        np.testing.assert_array_equal(
+            got["mlm"]["transform_dense"]["kernel"], k4[:, 2 * H:3 * H])
+        np.testing.assert_array_equal(
+            got["mlm"]["transform_ln"]["scale"],
+            np.asarray(params4["mlm"]["transform_ln"]["scale"])[2 * H:3 * H])
+
+        p1_dir = str(tmp_path / "model1")
+        self._save(params1, p1_dir)
+        got4 = ckpt.load_model_checkpoint(p1_dir, cfg4, params4)
+        k1 = np.asarray(params1["mlm"]["transform_dense"]["kernel"])
+        np.testing.assert_array_equal(
+            got4["mlm"]["transform_dense"]["kernel"], np.tile(k1, (1, 4)))
+        np.testing.assert_array_equal(
+            got4["mlm"]["transform_ln"]["bias"],
+            np.tile(np.asarray(params1["mlm"]["transform_ln"]["bias"]), 4))
+        # every leaf now matches the multi-head template's shape — the
+        # restored tree is applyable, not a latent tree-mismatch
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.shape(a), np.shape(b)), got4, params4)
+
+
 class TestRoundTrip:
     def test_params_to_torch_to_params(self, rng):
         cfg = tiny_cfg(type_vocab_size=6, relax_projection=4)

@@ -547,6 +547,49 @@ class TestMeteor:
         assert lo <= score <= hi
         assert lo < score  # adversarial extra matches found
 
+    def test_beam_aligner_distance_tiebreak(self):
+        """Adversarial case where the old greedy per-stage matcher and the
+        jar's beam search differ: hyp [runs, run] vs ref [run].  Greedy's
+        exact stage grabs (run, run) first; the published comparator
+        (coverage, chunks, DISTANCE) prefers the position-0 stem match
+        (runs, run) at distance 0 over the exact match at distance 1."""
+        from vlp_tpu.evals.meteor import _align, meteor_pair
+        assert _align("runs run".split(), ["run"]) == [(0, 0, 1)]
+        # mass = 0.6 (stem) * 0.75 (content); P=0.45/1.5, R=0.45/0.75
+        p, r = 0.3, 0.6
+        f = p * r / (0.85 * p + 0.15 * r)
+        assert meteor_pair("runs run".split(), ["run"]) == pytest.approx(
+            f * (1 - 0.6))
+
+    def test_beam_aligner_chunk_min(self):
+        """hyp [a, b] vs ref [a, x, a, b]: greedy matched the FIRST 'a'
+        (two chunks); the beam search picks the second 'a' so (a, b) forms
+        one contiguous chunk — the jar's minimise-chunks criterion."""
+        from vlp_tpu.evals.meteor import _align, meteor_pair
+        assert _align("a b".split(), "a x a b".split()) == [
+            (0, 2, 0), (1, 3, 0)]
+        p, r = 1.0, 0.5   # mass 1.0 over den 1.0 (hyp) / 2.0 (ref)
+        f = p * r / (0.85 * p + 0.15 * r)
+        expect = f * (1 - 0.6 * (1 / 2) ** 0.2)
+        assert meteor_pair("a b".split(),
+                           "a x a b".split()) == pytest.approx(expect)
+
+    def test_beam_aligner_chunk_min_beats_exact_weight(self):
+        """hyp [cats, cat] vs ref [cat, cats]: two crossing exact matches
+        (two chunks) lose to two contiguous stem matches (one chunk) — the
+        comparator never sees matcher weights, exactly like the jar."""
+        from vlp_tpu.evals.meteor import _align
+        assert _align("cats cat".split(), "cat cats".split()) == [
+            (0, 0, 1), (1, 1, 1)]
+
+    def test_bounds_hold_where_greedy_and_beam_differ(self):
+        from vlp_tpu.evals.meteor import compute_meteor, meteor_bounds
+        gts = {0: ["a x a b"], 1: ["run"]}
+        res = {0: ["a b"], 1: ["runs run"]}
+        score, _ = compute_meteor(gts, res)
+        lo, hi = meteor_bounds(gts, res)
+        assert lo <= score + 1e-9 <= hi + 1e-9
+
     def test_synonym_stage_hook(self):
         """A caller-provided synonym table adds matches at weight 0.8
         (WordNet data, when installed, flows through the same hook)."""

@@ -89,6 +89,24 @@ def ref_modeling(tmp_path_factory):
     os.chdir(old)
 
 
+@pytest.fixture(scope="module")
+def ref_optimization(ref_modeling):
+    """The reference's actual BertAdam (optimization.py), loaded the same
+    way as modeling.py.  ``torch._six`` (removed in torch 2.x) is shimmed to
+    ``collections.abc``, the only member the module uses."""
+    import collections.abc
+
+    six = types.ModuleType("torch._six")
+    six.container_abcs = collections.abc
+    sys.modules.setdefault("torch._six", six)
+    spec = importlib.util.spec_from_file_location(
+        "ref_ppb2.optimization", os.path.join(REF_DIR, "optimization.py"))
+    m = importlib.util.module_from_spec(spec)
+    sys.modules["ref_ppb2.optimization"] = m
+    spec.loader.exec_module(m)
+    return m
+
+
 def _vlp_cfg(label_smoothing=0.0):
     from vlp_tpu.config import VLPConfig
     return VLPConfig(
@@ -153,6 +171,8 @@ def _build_pair(ref_modeling, cfg, tasks="img2txt"):
         num_hidden_layers=cfg.num_hidden_layers,
         num_attention_heads=cfg.num_attention_heads,
         intermediate_size=cfg.intermediate_size,
+        hidden_dropout_prob=cfg.hidden_dropout_prob,
+        attention_probs_dropout_prob=cfg.attention_probs_dropout_prob,
         type_vocab_size=cfg.type_vocab_size,
         relax_projection=cfg.relax_projection,
         label_smoothing=cfg.label_smoothing or None,
@@ -285,6 +305,179 @@ def test_vqa_parity(ref_modeling, rng):
                                float(ref_vqa_loss), rtol=2e-3, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(ours_ans),
                                   ref_ans.numpy())
+
+
+class TestTrainingEquivalence:
+    """N-step training-trajectory equivalence against the ACTUAL reference
+    stack — the strongest in-environment proxy for the <=0.5-CIDEr quality
+    gate (BASELINE.md): real COCO features don't exist here, but if N
+    optimizer steps of vlp_tpu stay on the reference's loss curve from the
+    same init on the same batches, quality parity follows from the proven
+    decode parity rather than from composition arguments.
+
+    Covers the full reference hot loop (run_img2txt_dist.py:453-586): the
+    actual ``BertForPreTrainingLossMask`` forward + backward + the actual
+    ``BertAdam`` (optimization.py:112-182, incl. the no-decay param groups
+    of run_img2txt_dist.py:394-401) vs vlp_tpu's jitted train step with
+    ``optim.bert_adam``, both fp32, dropout 0.  Batches cycle so the loss
+    genuinely descends (memorization), then both final models beam-decode
+    (beam 5) identical captions."""
+
+    N_STEPS = 40
+    LR = 1e-4
+
+    def test_nstep_curve_and_final_decode(self, ref_modeling,
+                                          ref_optimization, rng):
+        import jax
+        import jax.numpy as jnp
+        import torch
+        from vlp_tpu import checkpoint as ckpt
+        from vlp_tpu.decode import DecodeParams, Decoder
+        from vlp_tpu.models.model import VLPModel
+        from vlp_tpu.ops.masks import visibility
+        from vlp_tpu.parallel import train_step as ts
+
+        N, B = self.N_STEPS, 4
+        cfg = _vlp_cfg().replace(relax_projection=0,
+                                 hidden_dropout_prob=0.0,
+                                 attention_probs_dropout_prob=0.0)
+        ref, model, params0 = _build_pair(ref_modeling, cfg)
+        ref.train()
+
+        # --- reference optimizer, exactly as the train CLI builds it ------
+        no_decay = ["bias", "LayerNorm.bias", "LayerNorm.weight"]
+        named = list(ref.named_parameters())
+        groups = [
+            {"params": [p for n, p in named
+                        if not any(nd in n for nd in no_decay)],
+             "weight_decay": 0.01},
+            {"params": [p for n, p in named
+                        if any(nd in n for nd in no_decay)],
+             "weight_decay": 0.0},
+        ]
+        ref_opt = ref_optimization.BertAdam(
+            groups, lr=self.LR, warmup=0.1, t_total=N,
+            schedule="warmup_linear")
+
+        # --- vlp_tpu optimizer + jitted step from the converted init ------
+        tx = ts.make_optimizer(cfg, params0, lr=self.LR, warmup=0.1,
+                               t_total=N, schedule="warmup_linear",
+                               weight_decay=0.01)
+        state = ts.TrainState(params=params0, opt_state=tx.init(params0),
+                              step=jnp.zeros((), jnp.int32))
+        step_fn = jax.jit(ts.make_train_step(model, tx,
+                                             mask_image_regions=True))
+
+        # --- shared fixture batches (cycled -> the loss actually descends)
+        raw = [_make_inputs(cfg, B, rng) for _ in range(5)]
+        batches = []
+        for x in raw:
+            vis = np.asarray(visibility(
+                jnp.asarray(x["mode"]), jnp.asarray(x["text_end"]),
+                jnp.asarray(np.ones_like(x["vis_keep"])), cfg.prefix_len,
+                cfg.seq_len))
+            jb = dict(
+                input_ids=jnp.asarray(x["ids"], jnp.int32),
+                segment_ids=jnp.asarray(x["seg"], jnp.int32),
+                mode=jnp.asarray(x["mode"]),
+                text_end=jnp.asarray(x["text_end"]),
+                vis_keep=jnp.asarray(x["vis_keep"]),
+                vis_masked_pos=jnp.asarray(x["vis_masked"], jnp.int32),
+                masked_pos=jnp.asarray(x["masked_pos"], jnp.int32),
+                masked_ids=jnp.asarray(x["masked_ids"], jnp.int32),
+                masked_weights=jnp.asarray(x["masked_weights"]),
+                task_idx=jnp.asarray(x["task_idx"], jnp.int32),
+                vis_feats=jnp.asarray(x["vis_feats"]),
+                vis_pe=jnp.asarray(x["vis_pe"]))
+            batches.append((x, vis, jb))
+
+        losses_ref, losses_ours = [], []
+        key = jax.random.PRNGKey(0)
+        for i in range(N):
+            x, vis, jb = batches[i % len(batches)]
+            mlm, pretext, ans = ref(
+                torch.from_numpy(x["vis_feats"]),
+                torch.from_numpy(x["vis_pe"]),
+                torch.from_numpy(x["ids"]), torch.from_numpy(x["seg"]),
+                torch.from_numpy(vis.astype(np.float32)),
+                torch.from_numpy(x["masked_ids"]).long(), None,
+                torch.full((B,), -1).long(),
+                masked_pos=torch.from_numpy(x["masked_pos"]).long(),
+                masked_weights=torch.from_numpy(x["masked_weights"]),
+                task_idx=torch.from_numpy(x["task_idx"]),
+                vis_masked_pos=torch.from_numpy(x["vis_masked"]).long(),
+                mask_image_regions=True, drop_worst_ratio=0)
+            loss = mlm + pretext + ans
+            loss.backward()
+            ref_opt.step()
+            ref_opt.zero_grad()
+            losses_ref.append(float(loss.detach()))
+
+            state, metrics = step_fn(state, jb, jax.random.fold_in(key, i),
+                                     0.0)
+            losses_ours.append(float(metrics["loss"]))
+
+        losses_ref = np.asarray(losses_ref)
+        losses_ours = np.asarray(losses_ours)
+        # the two trajectories must agree pointwise along the whole curve
+        np.testing.assert_allclose(losses_ours, losses_ref,
+                                   rtol=1e-3, atol=1e-4)
+        # ...and the curve must be a real training signal, not a flat line:
+        # the last visit to each fixture batch beats the first visit
+        assert losses_ref[-5:].mean() < losses_ref[:5].mean() - 1e-3
+
+        # --- final weights agree parameter-by-parameter --------------------
+        sd_final = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        tpl = jax.tree_util.tree_map(np.asarray, state.params)
+        converted = ckpt.torch_to_params(dict(sd_final), cfg, tpl)
+        for (p1, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(converted),
+                jax.tree_util.tree_leaves_with_path(tpl)):
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-4,
+                                       err_msg=str(p1))
+
+        # --- both trained models beam-decode identically -------------------
+        T = 5
+        cfg_dec = cfg.replace(max_len_b=T)
+        MASK_ID, EOS_ID = 5, 4
+        ref_dec = ref_modeling.BertForSeq2SeqDecoder(
+            ref.config,
+            mask_word_id=MASK_ID, search_beam_size=5, length_penalty=0.5,
+            eos_id=EOS_ID, min_len=2, enable_butd=True, len_vis_input=100)
+        missing, _ = ref_dec.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in sd_final.items()},
+            strict=False)
+        assert not [m for m in missing
+                    if m.startswith(("bert.", "cls.", "vis_"))], missing
+        ref_dec.eval()
+
+        helper = TestDecoderParity()
+        ids, seg, pos, mask, vf, vp, task = helper._decode_inputs(
+            cfg_dec, 3, T, rng)
+        with torch.no_grad():
+            traces = ref_dec(torch.from_numpy(vf), torch.from_numpy(vp),
+                             torch.from_numpy(ids), torch.from_numpy(seg),
+                             torch.from_numpy(pos), torch.from_numpy(mask),
+                             task_idx=torch.from_numpy(task))
+        model_dec = VLPModel(cfg_dec)
+        dec = Decoder(model_dec, cfg_dec, DecodeParams(
+            mask_id=MASK_ID, eos_id=EOS_ID, beam_size=5,
+            length_penalty=0.5, min_len=2, max_tgt_length=T))
+        L = cfg_dec.seq_len
+        jbatch = dict(
+            input_ids=jnp.asarray(ids, jnp.int32),
+            segment_ids=jnp.asarray(
+                np.pad(seg, ((0, 0), (0, L - seg.shape[1]))), jnp.int32),
+            position_ids=jnp.asarray(
+                np.tile(np.arange(L, dtype=np.int32), (3, 1))),
+            task_idx=jnp.asarray(task, jnp.int32),
+            vis_feats=jnp.asarray(vf), vis_pe=jnp.asarray(vp))
+        ours = dec.beam_search(state.params, jbatch)
+        ref_pred = traces["pred_seq"].numpy()
+        got = ours["pred_seq"]
+        for b in range(3):
+            n = min(ref_pred.shape[1], got.shape[1])
+            np.testing.assert_array_equal(got[b, :n], ref_pred[b, :n], b)
 
 
 class TestDecoderParity:

@@ -448,6 +448,25 @@ def _relax_select_tree(params, H: int, task_idx: int):
     return out
 
 
+def _relax_tile_tree(params, H: int, r: int):
+    """Expand a collapsed MLM head (1 head) to ``r`` heads by replication —
+    the orbax analogue of the reference from_pretrained n_state_relax==1
+    branch (modeling.py:704-720 repeats the single head r times)."""
+    mlm = dict(params["mlm"])
+    td = dict(mlm["transform_dense"])
+    k = np.asarray(td["kernel"])                     # [H, H]
+    td["kernel"] = np.tile(k, (1, r))
+    td["bias"] = np.tile(np.asarray(td["bias"]), r)
+    ln = dict(mlm["transform_ln"])
+    ln["scale"] = np.tile(np.asarray(ln["scale"]), r)
+    ln["bias"] = np.tile(np.asarray(ln["bias"]), r)
+    mlm["transform_dense"] = td
+    mlm["transform_ln"] = ln
+    out = dict(params)
+    out["mlm"] = mlm
+    return out
+
+
 def load_model_checkpoint(path: str, cfg: VLPConfig, params_template,
                           task_idx: Optional[int] = None):
     """Load either an orbax dir or a reference torch .bin.
@@ -466,10 +485,13 @@ def load_model_checkpoint(path: str, cfg: VLPConfig, params_template,
             got = np.asarray(
                 restored["mlm"]["transform_dense"]["kernel"]).shape
             # orbax restores the STORED shapes even when the template
-            # disagrees — adapt multi-head -> collapsed here
+            # disagrees — adapt multi-head -> collapsed (select) and
+            # collapsed -> multi-head (tile) here
             if want[1] == H and got[1] != H:
                 restored = _relax_select_tree(
                     restored, H, task_idx if task_idx is not None else 0)
+            elif want[1] != H and got[1] == H:
+                restored = _relax_tile_tree(restored, H, want[1] // H)
         return restored
     sd = load_torch_state_dict(path)
     return torch_to_params(sd, cfg, params_template, task_idx)

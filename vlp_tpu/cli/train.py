@@ -233,6 +233,7 @@ def main(argv=None):
             "reference SCST recipe is batch 16x4 without accumulation, " \
             "README.md:96); scale via data parallelism instead"
 
+    gspmd_loop_coerced = 0
     if args.tensor_parallel > 1:
         assert not args.scst and not args.true_fp16, \
             "--tensor_parallel composes with the default bf16 MLM/VQA " \
@@ -241,11 +242,18 @@ def main(argv=None):
             # the GSPMD TP step has no device-loop variant; fall back to
             # per-step dispatch rather than silently dropping TP (the
             # shard_map impl composes with the device loop)
+            gspmd_loop_coerced = args.device_loop_steps
             args.device_loop_steps = 1
 
     if args.jax_distributed:
         jax.distributed.initialize()
     logger = common.setup_logging(args.output_dir, args.log_file)
+    if gspmd_loop_coerced:
+        logger.warning(
+            "--tp_impl gspmd has no device-loop variant: "
+            "--device_loop_steps %d coerced to 1 (per-step dispatch costs "
+            "~35ms/step on remote runtimes; use --tp_impl shard_map to keep "
+            "the K-step device loop)", gspmd_loop_coerced)
     common.dump_opts(args, args.output_dir)
     tokenizer = common.resolve_tokenizer(args.bert_model, args.do_lower_case,
                                          args.max_position_embeddings)

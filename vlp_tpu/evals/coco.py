@@ -73,7 +73,13 @@ def language_eval(ann_file: str, preds: List[dict], model_id: str,
         # the [lb, ub] interval brackets the matchers that cannot run
         # air-gapped (see evals/meteor.py docstring)
         out["METEOR"], _ = compute_meteor(gts, res, syn)
-        out["METEOR_lb"], out["METEOR_ub"] = meteor_bounds(gts, res, syn)
+        lb, ub = meteor_bounds(gts, res, syn)
+        # the native score and each bound select best references
+        # independently and the system formula on summed stats is not
+        # monotone in that choice — clamp so the reported interval always
+        # contains the reported score
+        out["METEOR_lb"] = min(lb, out["METEOR"])
+        out["METEOR_ub"] = max(ub, out["METEOR"])
         # SPICE: exact published scoring over an approximate (rule-based)
         # scene-graph parse — consistent across compared models; plug an
         # external parser via evals/spice.compute_spice for Java parity.

@@ -24,36 +24,23 @@ The system-level score aggregates the per-segment sufficient statistics of
 the best-scoring reference and evaluates the same formula on the totals
 (Meteor's MeteorStats aggregation — NOT a mean of segment scores).
 
-Fidelity vs the jar, quantified per run (``meteor_bounds``):
+The ALIGNER is the jar's own algorithm (Denkowski & Lavie 2011 §3.1):
+candidate matches from every matcher are resolved by a beam search that
+selects, lexicographically, (1) maximum covered words, (2) minimum
+chunks, (3) minimum summed |i - j| position distance — see ``_align``.
+With the algorithm identical, the only divergence from the jar is DATA:
+
   * implemented matchers: exact, Porter-stem, WordNet-synonym (when the
     corpus is installed; the jar's synonym module has the same
     share-a-synset semantics);
   * the paraphrase-table matcher is NOT implemented (its data file ships
     only inside the jar), and the synonym matcher is skipped air-gapped —
-    ``meteor_bounds`` brackets what those matchers could add;
-  * residual approximations, documented rather than bounded: the jar's
-    beam-search aligner globally maximises coverage then minimises chunks
-    where this module aligns greedily per stage; and the jar's
-    ``function.words`` list (corpus tokens with relative frequency above
-    1e-3) is approximated by the closed-class list below.
-
-Bound derivation (per segment, assumptions stated):
-  assume the jar's alignment keeps this module's matched pairs with their
-  matcher labels (they are all legal jar matches; the jar maximises
-  coverage), and can additionally match only tokens left unmatched here —
-  via synonymy (weight 0.8; only when the synonym stage did not run) or
-  paraphrase (weight 0.6).  Let k = min(unmatched hyp, unmatched ref).
-    upper: add k extra matches at the best available weight, content words
-      first on each side (maximises the weighted masses); matches m+k; the
-      chunk count cannot drop below the chunks formed by the kept pairs
-      after merging neighbours whose hyp-side and ref-side gaps are equal
-      (only such gaps can be completely filled by new in-order matches).
-    lower: an adversarial jar adds j <= k matches that minimise the score:
-      weight-0.6 function-word matches (mass gain 0.6*(1-delta) per side),
-      each opening a new chunk; the bound is the min over j (with beta<1
-      the fragmentation penalty can outpace the small F gain, so the
-      module's own score is NOT automatically a lower bound — unlike
-      METEOR v1's unweighted stages).
+    ``meteor_bounds`` brackets every alignment the jar's comparator could
+    choose given those extra edges (derivation in ``_bound_stats``; no
+    assumption that the jar keeps this module's matched pairs);
+  * the jar's ``function.words`` list (corpus tokens with relative
+    frequency above 1e-3) is approximated by the closed-class list below —
+    documented, not bounded (it shifts tokens between the delta weights).
 """
 
 from __future__ import annotations
@@ -125,39 +112,76 @@ def wordnet_synonyms() -> Optional[SynonymFn]:
     return syn
 
 
+ALIGN_BEAM = 256  # jar default is 40; wider = exhaustive at caption scale
+
+
+def _match_stages(hyp: List[str], ref: List[str],
+                  synonyms: Optional[SynonymFn]
+                  ) -> Dict[Tuple[int, int], int]:
+    """All candidate matches: (i, j) -> stage, stage labelled by matcher
+    PRECEDENCE (exact before stem before synonym), the jar's module
+    order — a pair that both stems and synonym-matches is a stem match."""
+    hstem = [_STEM(w) for w in hyp]
+    rstem = [_STEM(w) for w in ref]
+    hsyn = [synonyms(w) for w in hyp] if synonyms is not None else None
+    rsyn = [synonyms(w) for w in ref] if synonyms is not None else None
+    mat: Dict[Tuple[int, int], int] = {}
+    for i, hw in enumerate(hyp):
+        for j, rw in enumerate(ref):
+            if hw == rw:
+                mat[(i, j)] = 0
+            elif hstem[i] == rstem[j]:
+                mat[(i, j)] = 1
+            elif hsyn is not None and hsyn[i] and (hsyn[i] & rsyn[j]):
+                mat[(i, j)] = 2
+    return mat
+
+
 def _align(hyp: List[str], ref: List[str],
            synonyms: Optional[SynonymFn] = None
            ) -> List[Tuple[int, int, int]]:
-    """Staged greedy alignment; returns (hyp_i, ref_j, stage) triples.
-    Stage order = matcher precedence (exact, stem, synonym); in-order
-    preference keeps chunks contiguous, approximating the jar's
-    minimise-chunks tie-break."""
-    matches: List[Optional[Tuple[int, int]]] = [None] * len(hyp)
-    used = [False] * len(ref)
+    """The Meteor alignment-resolution beam search (Denkowski & Lavie 2011
+    §3.1; the jar's ``meteor.aligner`` — invoked by the reference via the
+    coco-caption wrapper, /root/reference/vlp/lang_utils.py:17-18).  Among
+    one-to-one alignments over the candidate matches, select by the
+    published criteria, lexicographically:
 
-    def stage(sidx, key, equal=None):
-        hk = [key(w) for w in hyp]
-        rk = [key(w) for w in ref]
-        eq = equal or (lambda a, b: a == b)
-        last_j = -1
-        for i, w in enumerate(hk):
-            if matches[i] is not None:
-                continue
-            cand = [j for j, r in enumerate(rk) if not used[j] and eq(w, r)]
-            if not cand:
-                continue
-            after = [j for j in cand if j > last_j]
-            j = after[0] if after else cand[0]
-            matches[i] = (j, sidx)
-            used[j] = True
-            last_j = j
+      1. maximise covered words (all implemented matchers are single-word,
+         so this is the match count);
+      2. minimise the number of chunks;
+      3. minimise the sum of absolute distances |i - j| between matched
+         positions (prefer aligning phrases at similar positions).
 
-    stage(0, lambda w: w)
-    stage(1, _STEM)
-    if synonyms is not None:
-        stage(2, synonyms, equal=lambda a, b: bool(a & b))
-    return [(i, js[0], js[1]) for i, js in enumerate(matches)
-            if js is not None]
+    Beam search over hypothesis positions, partial alignments ranked by the
+    same criteria; ``ALIGN_BEAM`` = 256 is exhaustive for caption-length
+    segments (the jar searches the identical state space at beam 40).
+    Returns (hyp_i, ref_j, stage) triples."""
+    mat = _match_stages(hyp, ref, synonyms)
+    if not mat:
+        return []
+    cands: Dict[int, List[int]] = {}
+    for (i, j) in mat:
+        cands.setdefault(i, []).append(j)
+    for v in cands.values():
+        v.sort()
+    # state: (used-ref bitmask, pairs, m, chunks, dist, last_i, last_j)
+    states = [(0, (), 0, 0, 0, -2, -2)]
+    for i in range(len(hyp)):
+        js = cands.get(i)
+        if not js:
+            continue
+        new = list(states)  # skipping hyp word i is always a branch
+        for mask, pairs, m, ch, dist, li, lj in states:
+            for j in js:
+                if mask >> j & 1:
+                    continue
+                nch = ch + (0 if (li == i - 1 and lj == j - 1) else 1)
+                new.append((mask | 1 << j, pairs + ((i, j),), m + 1,
+                            nch, dist + abs(i - j), i, j))
+        new.sort(key=lambda s: (-s[2], s[3], s[4], s[1]))
+        states = new[:ALIGN_BEAM]
+    best = states[0]
+    return [(i, j, mat[(i, j)]) for (i, j) in best[1]]
 
 
 def _chunks(pairs: List[Tuple[int, int]]) -> int:
@@ -167,24 +191,6 @@ def _chunks(pairs: List[Tuple[int, int]]) -> int:
     n = 1
     for (i0, j0), (i1, j1) in zip(pairs, pairs[1:]):
         if not (i1 == i0 + 1 and j1 == j0 + 1):
-            n += 1
-    return n
-
-
-def _mergeable_chunks(pairs: List[Tuple[int, int]]) -> int:
-    """Lower bound on the chunk count achievable by a jar alignment that
-    keeps ``pairs``: neighbouring chunks merge only when the hyp-side and
-    ref-side gaps between them are equal and positive (then every gap token
-    could be matched in order by a jar-only matcher) or zero."""
-    if not pairs:
-        return 0
-    pairs = sorted(pairs)
-    n = 1
-    for (i0, j0), (i1, j1) in zip(pairs, pairs[1:]):
-        gap_h, gap_r = i1 - i0 - 1, j1 - j0 - 1
-        contiguous = gap_h == 0 and gap_r == 0
-        fillable = gap_h == gap_r and gap_h > 0 and j1 > j0
-        if not (contiguous or fillable):
             n += 1
     return n
 
@@ -249,46 +255,83 @@ def meteor_pair(hyp: List[str], ref: List[str],
 def _bound_stats(hyp: List[str], ref: List[str],
                  synonyms: Optional[SynonymFn] = None
                  ) -> Tuple[PairStats, PairStats, PairStats]:
-    """(ours, upper-stats, lower-stats) for one pair — see module
-    docstring for the assumptions."""
+    """(ours, upper-stats, lower-stats) for one pair.
+
+    The jar runs the SAME alignment-resolution algorithm as ``_align`` over
+    a superset of the candidate matches (extra edges from the paraphrase
+    table, and from WordNet when the synonym stage could not run here).
+    Adding edges can only move the comparator's winner to an alignment
+    whose (coverage, chunks, distance) key is lexicographically no worse,
+    so every jar-choosable alignment A satisfies:
+
+      * m <= |A| <= m + k   (k = min(unmatched hyp, unmatched ref); the
+        comparator maximises coverage and our m is its optimum over the
+        implemented matchers — a subset of the jar's edges);
+      * if |A| = m then chunks(A) <= our chunk count;
+      * each matched token contributes at most
+        max(best implemented stage weight incident to it, w_extra)
+        and at least W_PARA = 0.6 (the minimum of all matcher weights)
+        times its content/function weight.
+
+    upper: mass = the top-(m+k) per-token caps on each side; chunks = 1
+      (an adversarial table can always complete one contiguous run);
+      provable — no assumption about which pairs the jar keeps.
+    lower: min over extra-match counts e in [0, k] of the score with
+      per-side mass = 0.6 * (sum of the m+e smallest token weights) and
+      chunks = our chunk count when e = 0 (the comparator can only reduce
+      chunks at equal coverage) else m+e (maximal fragmentation).
+      When the pair is an exact identity alignment (all tokens matched
+      exactly, one chunk, zero distance) the comparator key (max, 1, 0) is
+      attained only by the identity alignment itself, so lb = ours.
+
+    Both bounds are assumption-free given the beam widths (ours: 256, the
+    jar's: 40) exhaust the caption-scale state space; only the missing
+    matcher DATA (paraphrase table; WordNet when absent) is bracketed."""
     triples = _align(hyp, ref, synonyms)
     ours = pair_stats(hyp, ref, synonyms)
+    mat = _match_stages(hyp, ref, synonyms)
     matched_h = {i for i, _, _ in triples}
     matched_r = {j for _, j, _ in triples}
-    un_h = [t for i, t in enumerate(hyp) if i not in matched_h]
-    un_r = [t for j, t in enumerate(ref) if j not in matched_r]
-    k = min(len(un_h), len(un_r))
+    k = min(len(hyp) - len(matched_h), len(ref) - len(matched_r))
+    m = int(ours.m)
     w_extra = W_PARA if synonyms is not None else W_SYN
 
-    # ---- upper: k extra matches at w_extra, content-first on each side ----
-    def best_mass(toks, kk):
-        content = sorted(toks, key=classify)  # content (False) first
-        return sum(w_extra * ((1 - DELTA) if classify(t) else DELTA)
-                   for t in content[:kk])
+    # ---- upper -----------------------------------------------------------
+    def cap_masses(toks, side):
+        best_impl = [0.0] * len(toks)
+        for (i, j), s in mat.items():
+            t = i if side == 0 else j
+            best_impl[t] = max(best_impl[t], STAGE_WEIGHTS[s])
+        caps = [max(w, w_extra) * ((1 - DELTA) if classify(t) else DELTA)
+                for w, t in zip(best_impl, toks)]
+        return sum(sorted(caps, reverse=True)[:m + k])
 
-    ub = PairStats(
-        mass_h=ours.mass_h + best_mass(un_h, k),
-        mass_r=ours.mass_r + best_mass(un_r, k),
-        den_h=ours.den_h, den_r=ours.den_r,
-        m=ours.m + k,
-        ch=float(max(_mergeable_chunks([(i, j) for i, j, _ in triples]),
-                     1 if (ours.m + k) > 0 else 0)))
+    ub = PairStats(mass_h=cap_masses(hyp, 0), mass_r=cap_masses(ref, 1),
+                   den_h=ours.den_h, den_r=ours.den_r, m=m + k,
+                   ch=1.0 if m + k else 0.0)
 
-    # ---- lower: adversarial j extra weight-0.6 function matches, each a
-    # new chunk; min over j of the resulting score ------------------------
-    lb_best: Optional[PairStats] = None
-    lb_score = float("inf")
-    for j in range(int(k) + 1):
-        gain = j * W_PARA * (1 - DELTA)
-        cand = PairStats(mass_h=ours.mass_h + gain,
-                         mass_r=ours.mass_r + gain,
-                         den_h=ours.den_h, den_r=ours.den_r,
-                         m=ours.m + j,
-                         ch=min(ours.ch + j, ours.m + j))
+    # ---- lower -----------------------------------------------------------
+    dist = sum(abs(i - j) for i, j, _ in triples)
+    identity = (k == 0 and dist == 0 and ours.ch <= 1
+                and m == len(hyp) == len(ref)
+                and all(s == 0 for _, _, s in triples))
+    if identity:
+        return ours, ub, ours
+
+    def min_mass(toks, mm):
+        w = sorted(((1 - DELTA) if classify(t) else DELTA) for t in toks)
+        return W_PARA * sum(w[:mm])
+
+    lb_best, lb_score = ours, float("inf")
+    for e in range(int(k) + 1):
+        cand = PairStats(mass_h=min_mass(hyp, m + e),
+                         mass_r=min_mass(ref, m + e),
+                         den_h=ours.den_h, den_r=ours.den_r, m=m + e,
+                         ch=float(ours.ch if e == 0 else m + e))
         s = score_from_stats(cand)
         if s < lb_score:
             lb_score, lb_best = s, cand
-    return ours, ub, lb_best if lb_best is not None else ours
+    return ours, ub, lb_best
 
 
 def compute_meteor(gts: Dict, res: Dict,
@@ -303,40 +346,47 @@ def compute_meteor(gts: Dict, res: Dict,
     total = PairStats()
     for key in keys:
         hyp = res[key][0].lower().split()
-        best, best_s = PairStats(), 0.0
+        # ties (and all-zero segments) keep the FIRST reference's stats,
+        # matching the jar's best-reference selection
+        best, best_s = None, -1.0
         for r in gts[key]:
             st = pair_stats(hyp, r.lower().split(), synonyms)
             s = score_from_stats(st)
-            if s >= best_s:
+            if best is None or s > best_s:
                 best, best_s = st, s
-        seg_scores.append(best_s)
-        total = total.add(best)
+        seg_scores.append(max(best_s, 0.0))
+        total = total.add(best if best is not None else PairStats())
     return score_from_stats(total), seg_scores
 
 
 def meteor_bounds(gts: Dict, res: Dict,
                   synonyms: Optional[SynonymFn] = None
                   ) -> Tuple[float, float]:
-    """(lower, upper) corpus interval estimated for the Meteor-1.5 jar's
-    system score, bracketing the matchers that cannot run air-gapped
-    (paraphrase always; synonym when WordNet data is absent).  Per-segment
-    bound stats are aggregated with the reference chosen by the respective
-    bound's own score; the interval is an estimate under the documented
-    alignment-containment assumption, not a proof."""
+    """(lower, upper) corpus interval for the Meteor-1.5 jar's system
+    score, bracketing the matcher DATA that cannot run air-gapped
+    (paraphrase table always; WordNet synonyms when the corpus is absent).
+    Per segment the bounds are assumption-free over every alignment the
+    jar's comparator could choose (see ``_bound_stats``); across segments
+    each bound aggregates the reference selected by its own score (the
+    jar's best-reference rule applied to the bound stats — the formula on
+    summed stats is not monotone in the per-segment choice, so the corpus
+    interval inherits that standard aggregation rather than a proof;
+    ``coco.language_eval`` additionally clamps the interval around the
+    native score)."""
     tot_lb, tot_ub = PairStats(), PairStats()
     for key in res:
         hyp = res[key][0].lower().split()
-        best_ub, best_ub_s = PairStats(), 0.0
-        best_lb, best_lb_s = PairStats(), 0.0
+        best_ub = best_lb = None
+        best_ub_s = best_lb_s = -1.0
         for r in gts[key]:
             _, ub, lb = _bound_stats(hyp, r.lower().split(), synonyms)
             su, sl = score_from_stats(ub), score_from_stats(lb)
-            if su >= best_ub_s:
+            if best_ub is None or su > best_ub_s:
                 best_ub, best_ub_s = ub, su
-            if sl >= best_lb_s:
+            if best_lb is None or sl > best_lb_s:
                 best_lb, best_lb_s = lb, sl
-        tot_ub = tot_ub.add(best_ub)
-        tot_lb = tot_lb.add(best_lb)
+        tot_ub = tot_ub.add(best_ub if best_ub is not None else PairStats())
+        tot_lb = tot_lb.add(best_lb if best_lb is not None else PairStats())
     lower = score_from_stats(tot_lb)
     upper = score_from_stats(tot_ub)
     return min(lower, upper), max(lower, upper)

@@ -254,6 +254,12 @@ class TransformerLayer(nn.Module):
             k = self._heads(self._col_parallel(self.k_proj, xb))
             v = self._heads(self._col_parallel(self.v_proj, xb))
             rng = self.make_rng("dropout") if rate > 0.0 else None
+            if rng is not None and cfg.tp_axis is not None:
+                # distinct attention-dropout streams per head shard (the
+                # [B,H_local,L,L] mask covers different heads on each model
+                # shard), mirroring the Pallas path's _attn_seed fold
+                rng = jax.random.fold_in(
+                    rng, jax.lax.axis_index(cfg.tp_axis))
             ctx = self._merge(attn_ops.attention_xla(
                 q, k, v, bias, dropout_rate=rate, dropout_rng=rng))
         return self._post_attention(ctx, x, deterministic)
