@@ -114,6 +114,37 @@ GOLDEN = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# EXTERNAL goldens: semantic tuples transcribed from a published source, NOT
+# authored to this parser's conventions (the self-authored set above shares
+# its author with the parser, which flatters precision/recall — see
+# tests/test_evals.py::TestSpiceExternalGolden).  Each entry cites its
+# source and keeps the source's tuple set verbatim modulo two mechanical
+# rewrites into this repo's representation: heads and relation verbs are
+# lemmatised, hyphenated relations are space-separated.
+# ---------------------------------------------------------------------------
+
+EXTERNAL_GOLDEN = [
+    # SPICE paper (Anderson, Fernando, Johnson, Gould — ECCV 2016,
+    # arXiv:1607.08822), the Figure-1 / §3 worked example pair.
+    # Reference caption: "A young girl standing on top of a tennis court."
+    # Published tuples: {(girl), (court), (girl, young), (girl, standing),
+    #                    (court, tennis), (girl, on-top-of, court)}
+    ("a young girl standing on top of a tennis court",
+     {"girl", "court"},
+     {("girl", "young"), ("girl", "stand"), ("court", "tennis")},
+     {("girl", "on top of", "court")}),
+    # Candidate caption of the same figure:
+    # "A shiny metal pot filled with some diced vegetables."
+    # Published tuples: {(pot), (vegetables), (pot, shiny), (pot, metal),
+    #                    (vegetables, diced), (pot, filled-with, vegetables)}
+    ("a shiny metal pot filled with some diced vegetables",
+     {"pot", "vegetable"},
+     {("pot", "shiny"), ("pot", "metal"), ("vegetable", "diced")},
+     {("pot", "fill with", "vegetable")}),
+]
+
+
 def golden_tuples(entry):
     _, objs, attrs, rels = entry
     return {(o,) for o in objs} | set(attrs) | set(rels)

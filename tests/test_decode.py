@@ -250,8 +250,9 @@ class TestPallasDecodeKernel:
         np.testing.assert_allclose(out_x[2], out_k[2], rtol=1e-4, atol=1e-4)
 
     def test_train_rollout_fallback_matches_xla(self, rng):
-        """Dropout-active sampling routes the column caches through the XLA
-        path (transpose fallback) — streams must be identical."""
+        """Dropout-active sampling runs the column-layout XLA step
+        (model._incremental_cols, no cache transposes) — streams must be
+        identical to the head-major path."""
         cfg, model, cfg_k, model_k, params = self._pair(
             2, prefill_kernel=False)
         batch = decode_batch(cfg, 2, rng)

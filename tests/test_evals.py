@@ -437,6 +437,54 @@ class TestSpiceGolden:
         assert sum(vals) / len(vals) >= 0.95
 
 
+class TestSpiceExternalGolden:
+    """Parse fidelity against EXTERNALLY-sourced scene graphs (the SPICE
+    paper's own worked examples, tests/spice_golden.py:EXTERNAL_GOLDEN) —
+    the self-authored golden set shares its author with the parser, so the
+    0.97 P/R there is flattered by shared attachment conventions.  These
+    goldens immediately caught two real defects when added (round 4):
+    "tennis" lemmatised to "tenni", and postnominal participles ("pot
+    filled with ...") swallowed into the noun phrase."""
+
+    def _pr(self, entries):
+        from tests.spice_golden import golden_tuples
+        from vlp_tpu.evals.spice import parse_scene_graph
+        tm = tg = tp = 0
+        for e in entries:
+            got = parse_scene_graph(e[0].split()).tuples()
+            gold = golden_tuples(e)
+            tm += len(got & gold)
+            tg += len(gold)
+            tp += len(got)
+        return tm / tp, tm / tg
+
+    def test_external_pr_floor(self):
+        from tests.spice_golden import EXTERNAL_GOLDEN
+        p, r = self._pr(EXTERNAL_GOLDEN)
+        # measured 0.909/0.833 (r04).  The residue is a CONVENTION delta,
+        # not a parse error: this parser merges participle+preposition
+        # chains into one relation ("girl, stand on top of, court") where
+        # the paper splits (girl, standing) + (girl, on-top-of, court)
+        assert p >= 0.85, f"external parse precision {p:.3f} regressed"
+        assert r >= 0.80, f"external parse recall {r:.3f} regressed"
+
+    def test_mixed_source_pr_floor(self):
+        from tests.spice_golden import EXTERNAL_GOLDEN, GOLDEN
+        p, r = self._pr(GOLDEN + EXTERNAL_GOLDEN)
+        # measured 0.968/0.960 (r04) over 25 self-authored + 2 external
+        assert p >= 0.93, f"mixed parse precision {p:.3f} regressed"
+        assert r >= 0.93, f"mixed parse recall {r:.3f} regressed"
+
+    def test_spice_paper_candidate_parses_exactly(self):
+        """The paper's candidate caption must parse to its published tuple
+        set exactly (after the two mechanical convention rewrites)."""
+        from tests.spice_golden import EXTERNAL_GOLDEN, golden_tuples
+        from vlp_tpu.evals.spice import parse_scene_graph
+        entry = EXTERNAL_GOLDEN[1]
+        got = parse_scene_graph(entry[0].split()).tuples()
+        assert got == golden_tuples(entry)
+
+
 class TestMeteor:
     """Meteor 1.5 scoring (the jar coco-caption runs: alpha=0.85, beta=0.2,
     gamma=0.6, delta=0.75, stage weights 1.0/0.6/0.8/0.6).  Expected values

@@ -1,4 +1,4 @@
-"""SCST training throughput (full self-critical step).
+"""SCST training throughput (full self-critical step) — tracked artifact.
 
 Reference recipe (BASELINE.md): COCO SCST fine-tune, batch 16x4, 3 hr/epoch
 on 4x Titan Xp.  The Karpathy train split is ~113k images, so that is
@@ -8,10 +8,19 @@ One benchmarked step = greedy rollout (eval mode) + sampled rollout (train
 mode, dropout on) + host CIDEr reward + differentiable forced-rollout policy
 gradient + BertAdam update — the full run_img2txt_dist.py:486-523 loop body.
 
-Usage: python tools/bench_scst.py [--batch 64] [--outer 5]
+Methodology (verify notes): the box carries bursty external load, so the
+result is best-of-``--windows`` windows of ``--outer`` steps each, appended
+to SCST_BENCH.json round-over-round like INFER_BENCH.  ``--ab`` additionally
+interleaves the kernel-layout rollout path (pallas_decode: deterministic
+fused kernel + column-layout XLA dropout steps) against the head-major XLA
+path in ONE process — cross-run comparisons on this host are meaningless.
+
+Usage: python tools/bench_scst.py [--batch 64] [--outer 5] [--windows 5]
+       [--label r04] [--ab] [--no_artifact]
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -22,37 +31,23 @@ import jax
 import numpy as np
 
 BASELINE_SCST_SPS_PER_GPU = 113287 / (3 * 3600) / 4  # 2.62
+ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "SCST_BENCH.json")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--outer", type=int, default=5)
-    args = ap.parse_args()
-
-    import jax.numpy as jnp
-    from vlp_tpu.config import VLPConfig
-    from vlp_tpu.data.example_builder import DecodeExampleBuilder, collate
+def build_trainer(cfg, batch, T, lr=1e-6):
     from vlp_tpu.parallel import train_step as ts
     from vlp_tpu.scst import SCSTTrainer
-
-    on_tpu = jax.default_backend() == "tpu"
-    cfg = VLPConfig(use_pallas_attention=on_tpu)
     model = ts.create_model(cfg)
     state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
-                                      lr=1e-6, warmup=0.1, t_total=100000)
+                                      lr=lr, warmup=0.1, t_total=100000)
     trainer = SCSTTrainer(model, cfg, mask_id=103, eos_id=102, pad_id=0,
-                          max_tgt_length=cfg.max_len_b, tx=tx)
+                          max_tgt_length=T, tx=tx)
+    return trainer, state
 
-    B, T = args.batch, cfg.max_len_b
-    rng_np = np.random.default_rng(0)
-    builder = DecodeExampleBuilder(cfg, {}, max_tgt_length=T)
-    exs = [builder(rng_np.normal(size=(cfg.len_vis_input, cfg.vis_feat_dim)),
-                   rng_np.normal(size=(cfg.len_vis_input, cfg.vis_pe_dim)))
-           for _ in range(B)]
-    batch = {k: jnp.asarray(v) for k, v in collate(exs).items()}
-    gt_ids = rng_np.integers(1000, 5000, (B, T)).astype(np.int64)
-    gt_ids[:, 10:] = 0  # captions ~10 tokens
+
+def bench_windows(trainer, state, batch, gt_ids, B, outer, windows):
+    from vlp_tpu.parallel import train_step as ts
 
     def one_step(st, i):
         rng = ts.fast_prng_key(i)
@@ -64,16 +59,104 @@ def main():
         return st, loss, metrics
 
     state, loss, m = one_step(state, 0)  # compile
-    print(f"warmup loss {loss:.4f} mean_reward {m['mean_reward']:.3f}")
+    print(f"  warmup loss {loss:.4f} mean_reward {m['mean_reward']:.3f}")
+    rates = []
+    step_i = 1
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(outer):
+            state, loss, _ = one_step(state, step_i)
+            step_i += 1
+        rates.append(B * outer / (time.perf_counter() - t0))
+    return rates, state
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--outer", type=int, default=5)
+    ap.add_argument("--windows", type=int, default=5)
+    ap.add_argument("--label", default="")
+    ap.add_argument("--ab", action="store_true",
+                    help="interleave kernel-layout vs head-major rollout "
+                         "paths in this one process")
+    ap.add_argument("--no_artifact", action="store_true")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from vlp_tpu.config import VLPConfig
+    from vlp_tpu.data.example_builder import DecodeExampleBuilder, collate
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = VLPConfig(use_pallas_attention=on_tpu)
+    B, T = args.batch, cfg.max_len_b
+    rng_np = np.random.default_rng(0)
+    builder = DecodeExampleBuilder(cfg, {}, max_tgt_length=T)
+    exs = [builder(rng_np.normal(size=(cfg.len_vis_input, cfg.vis_feat_dim)),
+                   rng_np.normal(size=(cfg.len_vis_input, cfg.vis_pe_dim)))
+           for _ in range(B)]
+    batch = {k: jnp.asarray(v) for k, v in collate(exs).items()}
+    gt_ids = rng_np.integers(1000, 5000, (B, T)).astype(np.int64)
+    gt_ids[:, 10:] = 0  # captions ~10 tokens
+
+    variants = [("kernel_layout", cfg)]
+    if args.ab:
+        variants.append(("head_major", cfg.replace(use_pallas_decode=False)))
+
+    built = []
+    for name, vcfg in variants:
+        trainer, state = build_trainer(vcfg, batch, T)
+        built.append((name, trainer, state))
+
+    # interleave variants window by window (A/B discipline)
+    results = {name: [] for name, *_ in built}
+    states = {name: st for name, _, st in built}
+    for w in range(args.windows):
+        for name, trainer, _ in built:
+            rates, states[name] = bench_windows(
+                trainer, states[name], batch, gt_ids, B,
+                args.outer, 1) if w == 0 else bench_windows_nowarm(
+                trainer, states[name], batch, gt_ids, B, args.outer)
+            results[name].extend(rates)
+
+    entry = {"label": args.label or "scst", "backend": jax.default_backend(),
+             "time": time.strftime("%Y-%m-%d %H:%M:%S"),
+             "methodology": (f"best of {args.windows} windows x "
+                             f"{args.outer} steps, B={B} (interleaved A/B)"
+                             if args.ab else
+                             f"best of {args.windows} windows x "
+                             f"{args.outer} steps, B={B}")}
+    for name, rates in results.items():
+        best, med = max(rates), float(np.median(rates))
+        entry[f"scst_{name}_samples_per_sec"] = round(best, 1)
+        entry[f"scst_{name}_median"] = round(med, 1)
+        entry[f"scst_{name}_windows"] = [round(r, 1) for r in rates]
+        print(f"{name}: best {best:.1f} median {med:.1f} samples/sec/chip "
+              f"({best / BASELINE_SCST_SPS_PER_GPU:.1f}x the per-GPU "
+              f"baseline) windows={[round(r, 1) for r in rates]}")
+    entry["vs_baseline"] = round(
+        max(results["kernel_layout"]) / BASELINE_SCST_SPS_PER_GPU, 1)
+
+    if not args.no_artifact:
+        hist = []
+        if os.path.exists(ARTIFACT):
+            hist = json.load(open(ARTIFACT))
+        hist.append(entry)
+        with open(ARTIFACT, "w") as f:
+            json.dump(hist, f, indent=1)
+        print(f"appended to {ARTIFACT}")
+
+
+def bench_windows_nowarm(trainer, state, batch, gt_ids, B, outer):
+    """One additional timed window on an already-compiled trainer."""
+    from vlp_tpu.parallel import train_step as ts
     t0 = time.perf_counter()
-    for i in range(args.outer):
-        state, loss, _ = one_step(state, i + 1)
-    dt = time.perf_counter() - t0
-    sps = B * args.outer / dt
-    print(f"scst: {sps:.1f} samples/sec/chip "
-          f"({dt / args.outer * 1000:.0f} ms/step at B={B}) — "
-          f"{sps / BASELINE_SCST_SPS_PER_GPU:.1f}x the per-GPU baseline")
+    for i in range(outer):
+        state, loss, _ = trainer.step(state, batch, gt_ids,
+                                      ts.fast_prng_key(1000 + i))
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        float(leaf.ravel()[0])
+    return [B * outer / (time.perf_counter() - t0)], state
 
 
 if __name__ == "__main__":

@@ -309,8 +309,21 @@ _CKPTR = None  # shared StandardCheckpointer (async under the hood)
 def _checkpointer():
     global _CKPTR
     if _CKPTR is None:
+        import jax
         import orbax.checkpoint as ocp
-        _CKPTR = ocp.StandardCheckpointer()
+        if jax.process_count() > 1:
+            # checkpoints are written by process 0 ONLY (cli/train.py
+            # mirrors the reference's rank-0 torch.save,
+            # run_img2txt_dist.py:588-599); the default checkpointer runs
+            # cross-process barriers inside save, which mismatches against
+            # hosts that never call it — scope the barrier set to process 0
+            _CKPTR = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler(),
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    primary_host=0, active_processes={0},
+                    barrier_sync_key_prefix="proc0ckpt"))
+        else:
+            _CKPTR = ocp.StandardCheckpointer()
     return _CKPTR
 
 

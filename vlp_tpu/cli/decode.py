@@ -87,6 +87,14 @@ def build_parser():
                    help="prefilter block width for --topk_impl blocks "
                         "(lane-divisor widths measured best; see "
                         "DecodeParams.topk_impl)")
+    p.add_argument("--reorder_impl", default="fused",
+                   choices=("fused", "gather", "onehot"),
+                   help="beam-reorder of the generated K/V caches: 'fused' "
+                        "(no physical reorder — the decode kernel selects "
+                        "lineage rows via an ancestry bias; falls back to "
+                        "'gather' off the kernel path), 'gather' (row "
+                        "gather), 'onehot' (MXU contraction).  "
+                        "Trace-identical (see DecodeParams.reorder_impl)")
     return p
 
 
@@ -147,7 +155,8 @@ def main(argv=None):
         max_tgt_length=args.max_tgt_length,
         forbid_ignore_ids=forbid_ignore_ids,
         approx_topk=args.approx_topk,
-        topk_impl=args.topk_impl, topk_block=args.topk_block)
+        topk_impl=args.topk_impl, topk_block=args.topk_block,
+        reorder_impl=args.reorder_impl)
     # data-parallel decode over all local devices (the reference is
     # single-GPU at inference, README.md:205)
     mesh = None

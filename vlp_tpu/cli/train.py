@@ -155,6 +155,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="call jax.distributed.initialize() for multi-host "
                         "pods (replaces the reference's file:// NCCL "
                         "rendezvous; coordinator comes from the TPU env)")
+    p.add_argument("--coordinator_address", default=None,
+                   help="explicit host:port for --jax_distributed, with "
+                        "--num_processes/--process_id — the hand-launched "
+                        "one-process-per-device pattern of the reference's "
+                        "--dist_url/--world_size/--global_rank "
+                        "(run_img2txt_dist.py:162-171); omit to auto-detect "
+                        "from the pod environment")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="process count for --coordinator_address")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's rank for --coordinator_address")
     p.add_argument("--tensor_parallel", type=int, default=0,
                    help="shard attention heads / FFN over a 'model' mesh "
                         "axis of this size; composes with data parallelism "
@@ -246,7 +257,12 @@ def main(argv=None):
             args.device_loop_steps = 1
 
     if args.jax_distributed:
-        jax.distributed.initialize()
+        if args.coordinator_address:
+            jax.distributed.initialize(args.coordinator_address,
+                                       num_processes=args.num_processes,
+                                       process_id=args.process_id)
+        else:
+            jax.distributed.initialize()
     logger = common.setup_logging(args.output_dir, args.log_file)
     if gspmd_loop_coerced:
         logger.warning(
@@ -303,10 +319,18 @@ def main(argv=None):
                                     **builder_kw)]
     micro = args.train_batch_size // args.gradient_accumulation_steps
     K = max(args.device_loop_steps, 1)
+    # one loader per host, each producing its slice of the global batch
+    # (the reference launches one process per GPU with a per-process batch,
+    # run_img2txt_dist.py:292-298; here --train_batch_size stays GLOBAL and
+    # hosts contribute train_batch_size / process_count each)
+    n_proc = jax.process_count()
+    assert args.train_batch_size % n_proc == 0, \
+        (args.train_batch_size, n_proc)
+    local_bs = args.train_batch_size // n_proc
     loader_kw = dict(
-        batch_size=args.train_batch_size, num_workers=args.num_workers,
+        batch_size=local_bs, num_workers=args.num_workers,
         seed=args.seed, process_index=jax.process_index(),
-        process_count=jax.process_count())
+        process_count=n_proc)
     stack_feat = stack_pe = None
     if K > 1 and not args.scst:
         # zero-copy device loop: the loader's recycled slabs ARE row views
@@ -317,7 +341,7 @@ def main(argv=None):
         from vlp_tpu.data.loader import stacked_feature_slabs
         stack_feat, stack_pe, loader_kw["feature_slabs"] = \
             stacked_feature_slabs(store, examples[0].feature_key, K,
-                                  args.train_batch_size)
+                                  local_bs)
     else:
         # recycle feature batch buffers: sized to cover the prefetch queue
         # plus the device-loop's pending stack
@@ -450,6 +474,18 @@ def main(argv=None):
     accum = max(args.gradient_accumulation_steps, 1)
     tp = max(args.tensor_parallel, 1)
     tp_shard_map = tp > 1 and args.tp_impl == "shard_map"
+    if n_proc > 1:
+        # multi-process: every host must take the shard_map DP mesh path —
+        # any fallback would train hosts independently on different data and
+        # silently desynchronise params (the reference's equivalent is DDP
+        # or nothing, run_img2txt_dist.py:379-387)
+        if (tp > 1 or args.scst or args.true_fp16
+                or args.train_batch_size % (n_dev * accum) != 0):
+            raise ValueError(
+                "multi-process training supports the data-parallel "
+                "shard_map path only: no --tensor_parallel/--scst/"
+                "--true_fp16, and --train_batch_size (global) must divide "
+                f"devices*grad_accum = {n_dev}*{accum}")
     if tp > 1:
         from vlp_tpu.parallel import pjit_step
         from vlp_tpu.parallel.mesh import make_mesh
@@ -483,9 +519,14 @@ def main(argv=None):
         from vlp_tpu.parallel import pjit_step
         from vlp_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(data=n_dev, model=1)
-        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
-        logger.info("data-parallel training over %d devices (shard_map%s)",
+        if n_proc > 1:
+            state = pjit_step.replicate_to_mesh(state, mesh)
+        else:
+            state = jax.device_put(state, NamedSharding(mesh,
+                                                        PartitionSpec()))
+        logger.info("data-parallel training over %d devices%s (shard_map%s)",
                     n_dev,
+                    f" / {n_proc} processes" if n_proc > 1 else "",
                     f", grad_accum={accum}" if accum > 1 else "")
     elif n_dev > 1:
         logger.warning(

@@ -72,15 +72,24 @@ class DecodeParams:
     #          block96 614, block128 636, block256 625, block512 524(r2)
     topk_impl: str = "blocks"
     topk_block: int = 32
-    # beam-reorder implementation for the generated K/V caches: "gather"
-    # (row gather, default) or "onehot" (batched one-hot MXU contraction).
-    # The gather lowers to a serialized per-row slice+update loop in HLO,
-    # but XLA's async pipelining overlaps it, and on a v5e it MEASURES
-    # faster than the one-hot contraction, whose cache-sized matmul sits on
-    # the critical path (interleaved A/B, tools/bench_beam_ab.py: 229 vs
-    # 223 captions/sec; fp32-accumulated onehot was worse still, 240 vs
-    # 222).  Both are trace-identical (tests/test_decode.py).
-    reorder_impl: str = "gather"
+    # beam-reorder implementation for the generated K/V caches:
+    #   "fused"  — (round 4) no physical reorder at all: the beam loop
+    #              carries an ancestry map [B*K, G] int32 and the decode
+    #              kernel selects each query beam's lineage rows via an
+    #              additive one-hot bias in its in-register mask — the
+    #              per-step 12-layer x k/v cache gathers (20% of the
+    #              serving-batch step, DESIGN.md r03 profile) disappear;
+    #              only the tiny int map is permuted.  Requires the decode
+    #              kernel path (cfg.pallas_decode); falls back to "gather"
+    #              otherwise.
+    #   "gather" — row gather.  Lowers to a serialized per-row slice+update
+    #              loop in HLO, but XLA's async pipelining overlaps it.
+    #   "onehot" — batched one-hot MXU contraction over the cache: measured
+    #              SLOWER than the gather (interleaved A/B,
+    #              tools/bench_beam_ab.py: 229 vs 223 captions/sec; the
+    #              cache-sized matmul sits on the critical path).
+    # All three are trace-identical (tests/test_decode.py).
+    reorder_impl: str = "fused"
 
 
 def _expand_beams(x: jnp.ndarray, K: int) -> jnp.ndarray:
@@ -244,11 +253,13 @@ class Decoder:
             self.dp.mask_id, method=VLPModel.prefill, **kw)
 
     def _step(self, params, prev_ids, seg, pos, pk, pv, gk, gv, gen_len,
-              dropout_rng=None, t=None):
+              dropout_rng=None, t=None, beam_bias=None):
         kw = {}
         if dropout_rng is not None:
             kw = dict(rngs={"dropout": jax.random.fold_in(dropout_rng, t + 1)},
                       deterministic=False)
+        if beam_bias is not None:
+            kw["beam_bias"] = beam_bias
         return self.model.apply(
             {"params": params}, prev_ids, seg, pos, pk, pv, gk, gv, gen_len,
             self.dp.mask_id, method=VLPModel.decode_step, **kw)
@@ -450,10 +461,30 @@ class Decoder:
         seqs = jnp.zeros((T, B * K), jnp.int32)
         seqs = seqs.at[0].set(k_ids0.reshape(-1))
 
+        # fused reorder: carry an ancestry map instead of reordering caches
+        # (anc[bk, j] = which in-example beam ROW holds beam bk's lineage
+        # K/V at slot j); requires the decode kernel's ancestry mask
+        fused = dp.reorder_impl == "fused" and cfg.pallas_decode
+        G = VLPModel.gen_cache_slots(T)
+        own = (jnp.arange(B * K, dtype=jnp.int32) % K)[:, None]  # [B*K, 1]
+        anc0 = jnp.broadcast_to(own, (B * K, G))
+
         def body(carry, t):
-            gk, gv, seqs, prev_ids, last_scores, last_eos = carry
+            gk, gv, seqs, anc, prev_ids, last_scores, last_eos = carry
+            if fused:
+                # slots t-1 (committed prev token) and t (probe) are written
+                # to each beam's OWN row this step
+                slots = jnp.arange(G)[None, :]
+                anc = jnp.where((slots == t - 1) | (slots == t), own, anc)
+                abias = jnp.where(
+                    anc[:, None, :] == jnp.arange(K, dtype=jnp.int32)[
+                        None, :, None],
+                    0.0, NEG).reshape(B * K, K * G).astype(jnp.float32)
+            else:
+                abias = None
             hidden, gk, gv = self._step(
-                params, prev_ids[:, None], seg, pos, pk, pv, gk, gv, t - 1)
+                params, prev_ids[:, None], seg, pos, pk, pv, gk, gv, t - 1,
+                beam_bias=abias)
             logits = self.model.apply({"params": params}, hidden, task_idx,
                                       method=VLPModel.lm_logits)[:, 0, :]
             kk_scores, kk_ids = self._candidate_topk(logits, seqs, t)
@@ -465,27 +496,30 @@ class Decoder:
             back_ptrs = k_idx // K
             k_ids = jnp.take_along_axis(kk_ids, k_idx, axis=1)
 
-            # reorder the generated-token caches + committed seqs by back
-            # pointers, then commit (the prompt caches need no reordering)
-            if dp.reorder_impl == "onehot":
-                w = jax.nn.one_hot(back_ptrs, K,
-                                   dtype=jnp.float32)        # [B, Kn, Ko]
-                reorder = lambda c: _reorder_cache_onehot(c, w, B, K)  # noqa: E731
-            else:
-                reorder = lambda c: _gather_beams(c, back_ptrs, B, K)  # noqa: E731
-            gk = tuple(reorder(c) for c in gk)
-            gv = tuple(reorder(c) for c in gv)
+            # reorder by back pointers, then commit (the prompt caches need
+            # no reordering): fused mode permutes only the int32 ancestry
+            # map; the other impls gather/contract every layer's k/v cache
             flat = (jnp.arange(B)[:, None] * K
                     + back_ptrs.astype(jnp.int32)).reshape(-1)
+            if fused:
+                anc = jnp.take(anc, flat, axis=0)
+            elif dp.reorder_impl == "onehot":
+                w = jax.nn.one_hot(back_ptrs, K,
+                                   dtype=jnp.float32)        # [B, Kn, Ko]
+                gk = tuple(_reorder_cache_onehot(c, w, B, K) for c in gk)
+                gv = tuple(_reorder_cache_onehot(c, w, B, K) for c in gv)
+            else:
+                gk = tuple(_gather_beams(c, back_ptrs, B, K) for c in gk)
+                gv = tuple(_gather_beams(c, back_ptrs, B, K) for c in gv)
             seqs = jnp.take(seqs, flat, axis=1)
             seqs = seqs.at[t].set(k_ids.reshape(-1))
 
             eos = (k_ids == dp.eos_id).astype(jnp.float32)
-            carry = (gk, gv, seqs, k_ids.reshape(-1), k_scores, eos)
+            carry = (gk, gv, seqs, anc, k_ids.reshape(-1), k_scores, eos)
             return carry, (k_ids, back_ptrs, k_scores, eos)
 
         eos0 = (k_ids0 == dp.eos_id).astype(jnp.float32)
-        carry0 = (gk, gv, seqs, k_ids0.reshape(-1), k_scores0, eos0)
+        carry0 = (gk, gv, seqs, anc0, k_ids0.reshape(-1), k_scores0, eos0)
         _, (ids_r, ptrs_r, scores_r, eos_r) = jax.lax.scan(
             body, carry0, jnp.arange(1, T))
 

@@ -104,11 +104,18 @@ surround surrounds fill fills cover covers top tops
 _ADJ_SUFFIX = re.compile(r".{3,}(?:ful|ous|ish|less|able|ible|ive|al|ic)$")
 
 
+# s-final words that are NOT plurals (the external SPICE-paper golden
+# caught "tennis" -> "tenni")
+NON_PLURAL_S = frozenset({"tennis", "lens", "chaos", "circus", "cactus"})
+
+
 def _lemma(word: str) -> str:
     """Light lemmatiser for tuple matching (dogs->dog, riding->ride,
     carries->carry).  Both sides of the comparison go through it, so
     consistency matters more than linguistic perfection."""
     w = word
+    if w in NON_PLURAL_S:
+        return w
     if w.endswith("ies") and len(w) > 4:
         return w[:-3] + "y"
     if w.endswith("sses") or w.endswith("shes") or w.endswith("ches") or \
@@ -129,11 +136,13 @@ def _lemma(word: str) -> str:
 
 
 def _ed_stem(tok: str) -> Optional[str]:
-    """topped -> top, parked -> park, served -> serve (None if not -ed)."""
+    """topped -> top, parked -> park, filled -> fill (None if not -ed).
+    The doubled-consonant undouble applies only when the doubled form is
+    not itself a verb (filled -> fill, not fil)."""
     if not tok.endswith("ed") or len(tok) < 4:
         return None
     stem = tok[:-2]
-    if len(stem) > 2 and stem[-1] == stem[-2]:
+    if len(stem) > 2 and stem[-1] == stem[-2] and stem not in VERBS:
         return stem[:-1]
     return stem
 
@@ -154,8 +163,13 @@ def _is_adjective(tok: str) -> bool:
 
 def _rel_lemma(t: str) -> str:
     """Relation-token lemma: verb lemmatisation incl. past participles
-    (perched -> perch, topped -> top, served -> serve)."""
-    if _is_verb(t):
+    (perched -> perch, topped -> top, served -> serve).  In relation
+    position an -ed participle reads as a verb even when it doubles as an
+    adjective ("pot filled with" -> fill, though "filled" is adjectival
+    prenominally)."""
+    if _is_verb(t) or (t.endswith("ed") and _ed_stem(t) is not None
+                       and (_ed_stem(t) in VERBS
+                            or _ed_stem(t) + "e" in VERBS)):
         lem = _lemma(t)
         if lem == t:
             ed = _ed_stem(t)
@@ -228,6 +242,14 @@ def _chunk(tokens: List[str]):
                 if _is_verb(t) and not (seen_det and not words):
                     # "the park"/"a drink": a determiner forces the next
                     # word to be read as a noun even if verb-shaped
+                    break
+                if (words and t.endswith("ed") and _ed_stem(t) is not None
+                        and (_ed_stem(t) in VERBS
+                             or _ed_stem(t) + "e" in VERBS)
+                        and j + 1 < n and tokens[j + 1] in PREPOSITIONS):
+                    # postnominal participle ("pot filled with ...", caught
+                    # by the external SPICE-paper golden): a relation token,
+                    # not an adjective extending the phrase
                     break
                 words.append(t)
                 j += 1

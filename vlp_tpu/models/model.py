@@ -319,7 +319,8 @@ class TransformerLayer(nn.Module):
 
     def incremental_split(self, x: Array, pk: Array, pv: Array, gk: Array,
                           gv: Array, gen_len,
-                          deterministic: bool = True
+                          deterministic: bool = True,
+                          beam_bias: Optional[Array] = None
                           ) -> Tuple[Array, Array, Array]:
         """KV-cached step over a split cache (TPU-first decode layout).
 
@@ -332,12 +333,18 @@ class TransformerLayer(nn.Module):
             (ops/decode_attention.py).  Deterministic only.
           * XLA path (``_incremental_bhpd`` below): head-major caches,
             reference einsum semantics, supports attention-prob dropout
-            (SCST sampled rollouts).  When the kernel layout is active but
-            dropout is requested, the caches are transposed through this
-            path per step (rollout throughput is not the serving path).
+            (SCST sampled rollouts).
+          * column-layout XLA path (``_incremental_cols``): the same math
+            directly on the kernel-layout caches — used when the kernel
+            layout is active but dropout is requested (SCST rollouts with
+            pallas_decode).  Round 3 transposed every cache through the
+            head-major path per step per layer; this keeps heads as a
+            reshape of the trailing dim, so no transpose materialises.
         """
         cfg = self.cfg
         if not cfg.pallas_decode:
+            assert beam_bias is None, \
+                "fused beam reorder requires the decode kernel path"
             return self._incremental_bhpd(x, pk, pv, gk, gv, gen_len,
                                           deterministic)
         if deterministic:
@@ -346,24 +353,70 @@ class TransformerLayer(nn.Module):
             v = self.v_proj(x)
             ctx, gk, gv = decode_attn_ops.decode_attention(
                 q, k, v, pk, pv, gk, gv, gen_len,
-                n_heads=cfg.num_attention_heads)
+                n_heads=cfg.num_attention_heads, beam_bias=beam_bias)
             out = self._post_attention(ctx, x, deterministic=deterministic)
             return out, gk, gv
-        Hh, D = cfg.num_attention_heads, cfg.head_dim
+        assert beam_bias is None, \
+            "fused beam reorder is deterministic-only (beam search)"
+        return self._incremental_cols(x, pk, pv, gk, gv, gen_len,
+                                      deterministic)
 
-        def to_heads(c):
-            n, p = c.shape[0], c.shape[1]
-            return c.reshape(n, p, Hh, D).transpose(0, 2, 1, 3)
+    def _incremental_cols(self, x: Array, pk: Array, pv: Array, gk: Array,
+                          gv: Array, gen_len,
+                          deterministic: bool = True
+                          ) -> Tuple[Array, Array, Array]:
+        """KV-cached step on COLUMN-layout caches (pk/pv [B, P, H*D],
+        gk/gv [B*K, G, H*D]) with attention-prob dropout support.
 
-        out, gk4, gv4 = self._incremental_bhpd(
-            x, to_heads(pk), to_heads(pv), to_heads(gk), to_heads(gv),
-            gen_len, deterministic)
-
-        def to_cols(c):
-            n, _, g, _ = c.shape
-            return c.transpose(0, 2, 1, 3).reshape(n, g, Hh * D)
-
-        return out, to_cols(gk4), to_cols(gv4)
+        Same attention math as ``_incremental_bhpd`` (dropout mask shape
+        [B, K, Hh, S, P+G] is identical, so a given rng draws the same
+        mask), but heads stay a reshape of the trailing dim: the caches are
+        never transposed.  This is the SCST sampled-rollout fast path when
+        ``cfg.pallas_decode`` is active — the deterministic kernel cannot
+        apply dropout (ops/decode_attention.py), and round 3's fallback
+        round-tripped [*, H*D] -> [*, H, G, D] -> [*, H*D] per step per
+        layer (reference workload: 3 hr/epoch of SCST rollouts,
+        README.md:96)."""
+        cfg = self.cfg
+        B, P = pk.shape[0], pk.shape[1]
+        BK, S, _ = x.shape
+        K = BK // B
+        D = cfg.head_dim
+        HD = pk.shape[-1]
+        Hh = HD // D                       # kernel width under TP too
+        q = self.q_proj(x)                 # [B*K, S, H*D]
+        k = self.k_proj(x)
+        v = self.v_proj(x)
+        G = gk.shape[1]
+        slots = jnp.arange(G)
+        for s in range(S):
+            sel = (slots == gen_len + s)[None, :, None]
+            gk = jnp.where(sel, k[:, s:s + 1].astype(gk.dtype), gk)
+            gv = jnp.where(sel, v[:, s:s + 1].astype(gv.dtype), gv)
+        scale = 1.0 / math.sqrt(D)
+        qb = q.reshape(B, K, S, Hh, D)
+        sp = jnp.einsum("bkshd,bjhd->bkhsj", qb, pk.reshape(B, P, Hh, D),
+                        preferred_element_type=jnp.float32) * scale
+        sg = jnp.einsum("bkshd,bkjhd->bkhsj", qb,
+                        gk.reshape(B, K, G, Hh, D),
+                        preferred_element_type=jnp.float32) * scale
+        jpos = jnp.arange(G)[None, :]
+        spos = gen_len + jnp.arange(S)[:, None]
+        gbias = jnp.where(jpos <= spos, 0.0,
+                          mask_ops.NEG_INF)[None, None, None]
+        scores = jnp.concatenate([sp, sg + gbias], axis=-1)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        probs = self.attn_dropout(probs, deterministic=deterministic)
+        probs = probs.astype(x.dtype)
+        ctx = jnp.einsum("bkhsj,bjhd->bkshd", probs[..., :P],
+                         pv.reshape(B, P, Hh, D),
+                         preferred_element_type=jnp.float32)
+        ctx = ctx + jnp.einsum("bkhsj,bkjhd->bkshd", probs[..., P:],
+                               gv.reshape(B, K, G, Hh, D),
+                               preferred_element_type=jnp.float32)
+        ctx = ctx.astype(x.dtype).reshape(BK, S, HD)
+        out = self._post_attention(ctx, x, deterministic=deterministic)
+        return out, gk, gv
 
     def _incremental_bhpd(self, x: Array, pk: Array, pv: Array, gk: Array,
                           gv: Array, gen_len,
@@ -654,13 +707,15 @@ class VLPModel(nn.Module):
 
     def _split_stack(self, x: Array, pk: Array, pv: Array, gk: Array,
                      gv: Array, gen_len,
-                     deterministic: bool = True
+                     deterministic: bool = True,
+                     beam_bias: Optional[Array] = None
                      ) -> Tuple[Array, Array, Array]:
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
             x, k, v = layer.incremental_split(x, pk[i], pv[i], gk[i], gv[i],
                                               gen_len,
-                                              deterministic=deterministic)
+                                              deterministic=deterministic,
+                                              beam_bias=beam_bias)
             new_k.append(k)
             new_v.append(v)
         # per-layer TUPLES, never stacked: a stacked [L, ...] cache costs a
@@ -706,7 +761,9 @@ class VLPModel(nn.Module):
     def decode_step(self, prev_ids: Array, segment_ids: Array,
                     position_ids: Array, pk: Array, pv: Array, gk: Array,
                     gv: Array, gen_len, mask_id: int,
-                    deterministic: bool = True) -> Tuple[Array, Array, Array]:
+                    deterministic: bool = True,
+                    beam_bias: Optional[Array] = None
+                    ) -> Tuple[Array, Array, Array]:
         """One generation step: feed [prev_token, MASK probe] at absolute
         positions (prefix+gen_len, prefix+gen_len+1); returns probe hidden +
         the updated generated-token caches (prompt caches are read-only).
@@ -724,7 +781,8 @@ class VLPModel(nn.Module):
         x = self.embeddings(ids, seg, pos, None, None,
                             deterministic=deterministic)
         x, gk, gv = self._split_stack(x, pk, pv, gk, gv, gen_len,
-                                      deterministic=deterministic)
+                                      deterministic=deterministic,
+                                      beam_bias=beam_bias)
         return x[:, -1:, :], gk, gv
 
     def lm_logits(self, hidden: Array, task_idx: Array) -> Array:

@@ -61,8 +61,13 @@ def _interpret() -> bool:
 
 
 def _kernel(gen_len_ref, q_ref, k_ref, v_ref, pk_ref, pv_ref, gk_ref, gv_ref,
-            out_ref, gk_out_ref, gv_out_ref, *, H: int, K: int, S: int,
-            G: int, P: int, E: int, scale: float):
+            *rest, H: int, K: int, S: int,
+            G: int, P: int, E: int, scale: float, has_anc: bool = False):
+    if has_anc:
+        ab_ref, out_ref, gk_out_ref, gv_out_ref = rest
+    else:
+        ab_ref = None
+        out_ref, gk_out_ref, gv_out_ref = rest
     EKS, HD = q_ref.shape
     D = HD // H
     EK = E * K
@@ -89,11 +94,23 @@ def _kernel(gen_len_ref, q_ref, k_ref, v_ref, pk_ref, pv_ref, gk_ref, gv_ref,
     colp = jax.lax.broadcasted_iota(jnp.int32, (EKS, E * P), 1)
     pvis = (rowp // (K * S)) == (colp // P)
     pbias = jnp.where(pvis, 0.0, NEG_INF).astype(jnp.float32)
-    # gen: same example AND same beam AND committed slot (j <= gl + s)
     rowg = jax.lax.broadcasted_iota(jnp.int32, (EKS, EK * G), 0)
     colg = jax.lax.broadcasted_iota(jnp.int32, (EKS, EK * G), 1)
-    gvis = ((rowg // S) == (colg // G)) & ((colg % G) <= gl + rowg % S)
-    gbias = jnp.where(gvis, 0.0, NEG_INF).astype(jnp.float32)
+    if has_anc:
+        # fused beam reorder: caches are never physically reordered; the
+        # ancestry bias (0 where column-beam k2 holds query-beam k's
+        # lineage at slot j, else NEG) replaces the same-beam diagonal.
+        # gen: same example AND committed slot AND ancestor match
+        gvis = (((rowg // (K * S)) == (colg // (K * G)))
+                & ((colg % G) <= gl + rowg % S))
+        ab = ab_ref[...]                                   # [EK, EK*G]
+        ab2 = jnp.broadcast_to(ab[:, None, :],
+                               (EK, S, EK * G)).reshape(EKS, EK * G)
+        gbias = jnp.where(gvis, 0.0, NEG_INF).astype(jnp.float32) + ab2
+    else:
+        # gen: same example AND same beam AND committed slot (j <= gl + s)
+        gvis = ((rowg // S) == (colg // G)) & ((colg % G) <= gl + rowg % S)
+        gbias = jnp.where(gvis, 0.0, NEG_INF).astype(jnp.float32)
 
     dt = out_ref.dtype
     contract = (((1,), (1,)), ((), ()))
@@ -141,13 +158,23 @@ def _block_examples(B: int, K: int, G: int, P: int, HD: int,
     return 1
 
 
-def decode_attention(q, k, v, pk, pv, gk, gv, gen_len, *, n_heads: int):
+def decode_attention(q, k, v, pk, pv, gk, gv, gen_len, *, n_heads: int,
+                     beam_bias=None):
     """One KV-cached generation step, fused.
 
     q/k/v: [B*K, S, HD] — the new tokens' projection outputs (S=2:
     [prev_token, MASK probe]); pk/pv: [B, P, HD] prompt caches (shared per
     example across beams); gk/gv: [B*K, G, HD] generated-token caches;
     gen_len: int32 scalar (committed tokens so far).
+
+    ``beam_bias`` (fused beam reorder, round 4): fp32 [B*K, K*G] additive
+    ancestry bias — entry (bk, k2*G+j) is 0 when in-example beam row k2
+    holds beam bk's lineage K/V at slot j, else NEG_INF.  With it the
+    caches are NEVER physically reordered between steps (the per-step
+    [B*K, G, HD] x 12-layer x k/v gathers were 20% of the serving-batch
+    step, DESIGN.md round-3 profile); the gen-score dot was ALREADY over
+    all of an example's beams, so selecting ancestors costs only this bias
+    in the in-register mask.
 
     Returns (ctx [B*K, S, HD], gk', gv') with the new tokens' K/V written
     into slots gen_len / gen_len+1.
@@ -159,10 +186,11 @@ def decode_attention(q, k, v, pk, pv, gk, gv, gen_len, *, n_heads: int):
     D = HD // n_heads
     E = _block_examples(B, K, G, P, HD, jnp.dtype(q.dtype).itemsize)
     kernel = functools.partial(_kernel, H=n_heads, K=K, S=S, G=G, P=P, E=E,
-                               scale=1.0 / math.sqrt(D))
+                               scale=1.0 / math.sqrt(D),
+                               has_anc=beam_bias is not None)
 
-    def row_spec(rows):
-        return pl.BlockSpec((None, rows, HD), lambda b, *_: (b, 0, 0),
+    def row_spec(rows, width=HD):
+        return pl.BlockSpec((None, rows, width), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
     nblk = B // E
@@ -173,12 +201,21 @@ def decode_attention(q, k, v, pk, pv, gk, gv, gen_len, *, n_heads: int):
     pvv = pv.reshape(nblk, E * P, HD)
     gkv = gk.reshape(nblk, E * K * G, HD)
     gvv = gv.reshape(nblk, E * K * G, HD)
+    in_specs = [row_spec(E * K * S), row_spec(E * K * S),
+                row_spec(E * K * S), row_spec(E * P), row_spec(E * P),
+                row_spec(E * K * G), row_spec(E * K * G)]
+    operands = [qv, kv_, vv, pkv, pvv, gkv, gvv]
+    if beam_bias is not None:
+        # tile the per-example [K*G] bias across the E examples of a block
+        # (cross-example columns are NEG-masked by the block diagonal, so
+        # the repeated pattern is never misread)
+        ab = jnp.tile(beam_bias.astype(jnp.float32), (1, E))
+        operands.append(ab.reshape(nblk, E * K, E * K * G))
+        in_specs.append(row_spec(E * K, E * K * G))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # gen_len
         grid=(nblk,),
-        in_specs=[row_spec(E * K * S), row_spec(E * K * S),
-                  row_spec(E * K * S), row_spec(E * P), row_spec(E * P),
-                  row_spec(E * K * G), row_spec(E * K * G)],
+        in_specs=in_specs,
         out_specs=(row_spec(E * K * S), row_spec(E * K * G),
                    row_spec(E * K * G)),
     )
@@ -189,7 +226,6 @@ def decode_attention(q, k, v, pk, pv, gk, gv, gen_len, *, n_heads: int):
                    jax.ShapeDtypeStruct((nblk, E * K * G, HD), gk.dtype),
                    jax.ShapeDtypeStruct((nblk, E * K * G, HD), gv.dtype)),
         interpret=_interpret(),
-    )(jnp.asarray(gen_len, jnp.int32).reshape(1), qv, kv_, vv, pkv, pvv,
-      gkv, gvv)
+    )(jnp.asarray(gen_len, jnp.int32).reshape(1), *operands)
     return (out.reshape(BK, S, HD), gk_new.reshape(BK, G, HD),
             gv_new.reshape(BK, G, HD))

@@ -167,13 +167,24 @@ class SCSTTrainer:
             return state._replace(params=new_params, opt_state=new_opt,
                                   step=state.step + 1), loss, metrics
 
+        # the aux-metrics out_spec is derived from the loss function's own
+        # tree (via eval_shape, like pjit_step.make_shard_map_step) so a new
+        # metric key cannot desynchronise the sharded path from the
+        # single-device one
+        bsz = next(iter(batch.values())).shape[0]
+        aux_tree = jax.eval_shape(
+            lambda p, b: self._pg_loss(
+                p, b, jnp.zeros((bsz, self.T), jnp.int32),
+                jnp.zeros((bsz, self.T), jnp.float32),
+                jax.random.PRNGKey(0))[1],
+            state.params, batch)
         fn = shard_map(
             body, mesh=self.mesh,
             in_specs=(jax.tree_util.tree_map(lambda _: rep, state),
                       jax.tree_util.tree_map(lambda x: data(x), batch),
                       P("data"), P("data"), rep),
             out_specs=(jax.tree_util.tree_map(lambda _: rep, state),
-                       rep, {"scst_loss": rep}),
+                       rep, jax.tree_util.tree_map(lambda _: rep, aux_tree)),
             check_vma=False)
         return jax.jit(fn, donate_argnums=(0,))
 
