@@ -54,7 +54,7 @@ def fx(tmp_path_factory):
     return dict(dir=str(d), vocab=vocab, cfg=cfg_json, child=child)
 
 
-def _launch(fx, out, epochs, port):
+def _launch(fx, out, epochs, port, extra=()):
     """Spawn the 2-process group; returns the two completed processes."""
     env = dict(os.environ)
     # pytest's conftest forces an 8-device CPU mesh via XLA_FLAGS; the
@@ -74,7 +74,7 @@ def _launch(fx, out, epochs, port):
             "--num_train_epochs", str(epochs),
             "--jax_distributed",
             "--coordinator_address", f"localhost:{port}",
-            "--num_processes", "2"]
+            "--num_processes", "2", *extra]
     procs = [subprocess.Popen(
         [sys.executable, fx["child"], *base, "--process_id", str(i)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
@@ -92,8 +92,12 @@ def _launch(fx, out, epochs, port):
 
 
 def test_two_process_train_and_resume(fx):
+    # first leg also exercises the K-step device loop across processes
+    # (shard_stacked_batch assembles each host's [K, local_B, ...] stack
+    # into global arrays; the zero-copy feature slabs are per-host)
     out = os.path.join(fx["dir"], "out")
-    procs, logs = _launch(fx, out, epochs=2, port=_free_port())
+    procs, logs = _launch(fx, out, epochs=2, port=_free_port(),
+                          extra=("--device_loop_steps", "2"))
     for p, text in zip(procs, logs):
         assert p.returncode == 0, text[-4000:]
     assert os.path.isdir(os.path.join(out, "model.2"))

@@ -47,8 +47,8 @@ def main():
 
     variants = {}
     for name in args.variants.split(","):
-        reorder = ("onehot" if name.endswith("onehot")
-                   else "fused" if name.endswith("fused") else "gather")
+        reorder = ("onehot" if "onehot" in name
+                   else "fused" if "fused" in name else "gather")
         blk = re.search(r"blocktopk(\d*)$", name)
         kw = {}
         if blk:

@@ -70,6 +70,10 @@ class DecodeParams:
     #   B=100: full 581, block32 645, block64 630
     #   B=400: full 616, block32 642, block64 641, block48 607,
     #          block96 614, block128 636, block256 625, block512 524(r2)
+    # Re-swept under the round-4 fused reorder (step composition changed):
+    #   B=100 block32 626 vs block64 616 — 32 stays the default;
+    #   B=400 block64 669 vs block32 650 — serving deployments at large
+    #   batch should pass --topk_block 64 (~+3%).
     topk_impl: str = "blocks"
     topk_block: int = 32
     # beam-reorder implementation for the generated K/V caches:
