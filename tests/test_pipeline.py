@@ -305,6 +305,32 @@ class TestSCST:
         np.testing.assert_allclose(np.asarray(forced), np.asarray(lps),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_remat_grads_equal(self, rng):
+        """SCSTTrainer(remat=True) rematerialises the forced-replay scan
+        body (jax.checkpoint — needed for per-chip batches >=256 on a 16G
+        v5e); gradients must equal the non-remat path exactly."""
+        cfg = tiny_cfg()
+        model = VLPModel(cfg)
+        params = ts.init_params(model, cfg, jax.random.PRNGKey(0))
+        builder = DecodeExampleBuilder(cfg, VOCAB,
+                                       max_tgt_length=cfg.max_len_b)
+        s = store(cfg)
+        batch = {k: jnp.asarray(v) for k, v in collate(
+            [builder(*s.get(f"i{j}")) for j in range(2)]).items()}
+        kw = dict(mask_id=VOCAB["[MASK]"], eos_id=VOCAB["[SEP]"],
+                  max_tgt_length=cfg.max_len_b)
+        gt = np.array([[6, 7, 10, 4, 0], [8, 11, 4, 0, 0]], np.int32)
+        base = scst_lib.SCSTTrainer(model, cfg, **kw)
+        rem = scst_lib.SCSTTrainer(model, cfg, remat=True, **kw)
+        l0, g0, _ = base.loss_and_grads(params, batch, gt,
+                                        jax.random.PRNGKey(1))
+        l1, g1, _ = rem.loss_and_grads(params, batch, gt,
+                                       jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g0, g1)
+
     def test_clean_rollout(self):
         ids = np.array([[5, 6, 4, 7, 8],     # EOS at 2 -> keep EOS, zero rest
                         [5, 0, 6, 7, 8],     # PAD at 1 -> stop without EOS

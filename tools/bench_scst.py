@@ -35,14 +35,14 @@ ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "SCST_BENCH.json")
 
 
-def build_trainer(cfg, batch, T, lr=1e-6):
+def build_trainer(cfg, batch, T, lr=1e-6, remat=False):
     from vlp_tpu.parallel import train_step as ts
     from vlp_tpu.scst import SCSTTrainer
     model = ts.create_model(cfg)
     state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
                                       lr=lr, warmup=0.1, t_total=100000)
     trainer = SCSTTrainer(model, cfg, mask_id=103, eos_id=102, pad_id=0,
-                          max_tgt_length=T, tx=tx)
+                          max_tgt_length=T, tx=tx, remat=remat)
     return trainer, state
 
 
@@ -81,6 +81,9 @@ def main():
                     help="interleave kernel-layout vs head-major rollout "
                          "paths in this one process")
     ap.add_argument("--no_artifact", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the forced-replay scan body "
+                         "(needed to fit B>=256 on a 16G chip)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -105,7 +108,7 @@ def main():
 
     built = []
     for name, vcfg in variants:
-        trainer, state = build_trainer(vcfg, batch, T)
+        trainer, state = build_trainer(vcfg, batch, T, remat=args.remat)
         built.append((name, trainer, state))
 
     # interleave variants window by window (A/B discipline)

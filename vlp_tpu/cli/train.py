@@ -123,6 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tasks", default="img2txt", choices=("img2txt", "vqa2"))
     p.add_argument("--relax_projection", action="store_true")
     p.add_argument("--scst", action="store_true")
+    p.add_argument("--scst_remat", action="store_true",
+                   help="rematerialise the SCST forced-replay scan in the "
+                        "backward pass (jax.checkpoint): per-chip SCST "
+                        "batches >=256 otherwise exceed a 16G chip's HBM")
     p.add_argument("--answer_vocab_file", default="", type=str)
     # TPU-specific
     p.add_argument("--synthetic_data", action="store_true",
@@ -544,7 +548,7 @@ def main(argv=None):
         scst_trainer = SCSTTrainer(
             model, cfg, mask_id=sp["[MASK]"], eos_id=sp["[SEP]"],
             pad_id=sp["[PAD]"], max_tgt_length=cfg.max_len_b, tx=tx,
-            mesh=mesh)
+            mesh=mesh, remat=args.scst_remat)
     elif args.device_loop_steps > 1:
         if mesh is not None:
             multi_make = pjit_step.make_shard_map_multi_step(

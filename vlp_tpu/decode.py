@@ -294,12 +294,12 @@ class Decoder:
         divide the batch size."""
         if self.mesh is None:
             return params, batch
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        rep = NamedSharding(self.mesh, P())
-        params = jax.device_put(params, rep)
+        from jax.sharding import PartitionSpec as P
+        from vlp_tpu.parallel.pjit_step import put_on_mesh
+        params = jax.tree_util.tree_map(
+            lambda x: put_on_mesh(x, self.mesh, P()), params)
         batch = {
-            k: jax.device_put(v, NamedSharding(
-                self.mesh, P("data", *([None] * (v.ndim - 1)))))
+            k: put_on_mesh(v, self.mesh, P("data", *([None] * (v.ndim - 1))))
             for k, v in batch.items()}
         return params, batch
 

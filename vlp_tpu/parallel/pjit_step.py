@@ -47,7 +47,7 @@ def shard_state(state: ts.TrainState, mesh: Mesh,
     return jax.tree_util.tree_map(jax.device_put, state, sh)
 
 
-def _put(x, mesh: Mesh, spec: P):
+def put_on_mesh(x, mesh: Mesh, spec: P):
     """Place host data on the mesh.  Single-process: plain device_put.
     Multi-process: ``x`` is this host's LOCAL block (the per-host loader
     shard, run_img2txt_dist.py's one-process-per-GPU pattern) and is
@@ -63,12 +63,12 @@ def _put(x, mesh: Mesh, spec: P):
 def replicate_to_mesh(tree, mesh: Mesh):
     """Replicate a host-resident pytree over every mesh device (works
     across processes, unlike a bare device_put to a replicated sharding)."""
-    return jax.tree_util.tree_map(lambda x: _put(x, mesh, P()), tree)
+    return jax.tree_util.tree_map(lambda x: put_on_mesh(x, mesh, P()), tree)
 
 
 def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(
-        lambda x: _put(x, mesh, P("data", *([None] * (x.ndim - 1)))),
+        lambda x: put_on_mesh(x, mesh, P("data", *([None] * (x.ndim - 1)))),
         batch)
 
 
@@ -214,7 +214,7 @@ def make_shard_map_multi_step(model: VLPModel,
 def shard_stacked_batch(stacked, mesh: Mesh):
     """Place a ``[K, B, ...]`` stacked batch with B sharded over 'data'."""
     return jax.tree_util.tree_map(
-        lambda x: _put(x, mesh, P(None, "data", *([None] * (x.ndim - 2)))),
+        lambda x: put_on_mesh(x, mesh, P(None, "data", *([None] * (x.ndim - 2)))),
         stacked)
 
 

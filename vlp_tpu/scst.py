@@ -97,13 +97,18 @@ class SCSTTrainer:
 
     def __init__(self, model: VLPModel, cfg: VLPConfig, *, mask_id: int,
                  eos_id: int, pad_id: int = 0, max_tgt_length: int = 20,
-                 tx=None, mesh=None):
+                 tx=None, mesh=None, remat: bool = False):
         self.cfg = cfg
         self.model = model
         self.eos_id = eos_id
         self.pad_id = pad_id
         self.T = max_tgt_length
         self.mesh = mesh
+        # rematerialise the forced-replay scan body in the backward pass:
+        # without it the policy-gradient step stores every decode step's
+        # activations and OOMs HBM at B=256 on a 16G v5e (23.9G program);
+        # with it the activations are recomputed per step
+        self.remat = remat
         self.dp = DecodeParams(mask_id=mask_id, eos_id=eos_id, pad_id=pad_id,
                                max_tgt_length=max_tgt_length)
         self.decoder = Decoder(model, cfg, self.dp)
@@ -193,12 +198,12 @@ class SCSTTrainer:
         mesh's ``data`` axis (no-op without a mesh)."""
         if self.mesh is None:
             return state_or_params, batch
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        rep = NamedSharding(self.mesh, P())
-        state_or_params = jax.device_put(state_or_params, rep)
+        from jax.sharding import PartitionSpec as P
+        from vlp_tpu.parallel.pjit_step import put_on_mesh
+        state_or_params = jax.tree_util.tree_map(
+            lambda x: put_on_mesh(x, self.mesh, P()), state_or_params)
         batch = {
-            k: jax.device_put(v, NamedSharding(
-                self.mesh, P("data", *([None] * (v.ndim - 1)))))
+            k: put_on_mesh(v, self.mesh, P("data", *([None] * (v.ndim - 1))))
             for k, v in batch.items()}
         return state_or_params, batch
 
@@ -266,6 +271,8 @@ class SCSTTrainer:
             nxt = forced_ids[:, jnp.minimum(t + 1, self.T - 1)]
             return (gk, gv), logp_of(logits, nxt)
 
+        if self.remat:
+            body = jax.checkpoint(body)
         (_, _), lp_rest = jax.lax.scan(body, (gk, gv), jnp.arange(self.T - 1))
         return jnp.concatenate([lp0[None], lp_rest], axis=0).T  # [B, T]
 
