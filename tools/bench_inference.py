@@ -79,6 +79,29 @@ def measure_decode(batch_size=100, beam=5, max_tgt=20, outer=3, windows=5):
     return _window_stats(per_window)
 
 
+def measure_greedy(batch_size=100, max_tgt=20, outer=3, windows=5):
+    """Beam-1 (greedy) decode — the reference's VAL-split setting
+    (README.md:209-216 decodes val with beam 1, test with beam 5); same
+    depth-1 pipelined discipline as measure_decode."""
+    from tools.common import fresh_features, setup_decode
+    cfg, model, params, dec, batch = setup_decode(batch_size, 1, max_tgt,
+                                                  False)
+    dec.greedy(params, fresh_features(cfg, batch, -1))  # compile
+    batches = [fresh_features(cfg, batch, i) for i in range(outer)]
+    per_window = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        pending = None
+        for b in batches:
+            ids, _ = dec.greedy(params, b)
+            if pending is not None:
+                np.asarray(pending)  # materialise previous (depth-1)
+            pending = ids
+        np.asarray(pending)
+        per_window.append(batch_size * outer / (time.perf_counter() - t0))
+    return _window_stats(per_window)
+
+
 def measure_vqa(batch_size=256, outer=5, windows=5):
     import jax
     import jax.numpy as jnp
@@ -148,6 +171,9 @@ def main():
     ap.add_argument("--serving_batches", default="",
                     help="comma-separated extra decode batch sizes to sweep "
                          "(e.g. 200,400); each adds beam5_b{B}_* fields")
+    ap.add_argument("--greedy", action="store_true",
+                    help="also record beam-1 decode at B=100 (the "
+                         "reference's val-split setting)")
     args = ap.parse_args()
 
     import jax
@@ -156,6 +182,8 @@ def main():
     for b in (int(x) for x in args.serving_batches.split(",") if x):
         serving[b] = measure_decode(batch_size=b, outer=args.outer,
                                     windows=args.windows)
+    greedy = (measure_greedy(outer=args.outer, windows=args.windows)
+              if args.greedy else None)
     vqa = measure_vqa(outer=max(args.outer, 3), windows=args.windows)
     rec = {
         "label": args.label,
@@ -174,6 +202,10 @@ def main():
         rec[f"beam5_b{b}_captions_per_sec"] = st["best"]
         rec[f"beam5_b{b}_median"] = st["median"]
         rec[f"beam5_b{b}_windows"] = st["windows"]
+    if greedy is not None:
+        rec["greedy_b100_captions_per_sec"] = greedy["best"]
+        rec["greedy_b100_median"] = greedy["median"]
+        rec["greedy_b100_windows"] = greedy["windows"]
     hist = []
     if os.path.exists(OUT_PATH):
         with open(OUT_PATH) as f:
