@@ -587,3 +587,116 @@ class TestE2ECheckpointInterop:
 
         for i in range(3):
             assert preds[i] == caption_of(ref_pred[i]), i
+
+    def test_our_train_convert_reference_decodes_identically(
+            self, ref_modeling, tmp_path):
+        """The REVERSE migration path: a checkpoint trained by THIS
+        framework's CLI, exported by the convert CLI (jax2torch), loads
+        through the reference's own ``BertForSeq2SeqDecoder.from_pretrained``
+        (whose surgery collapses the multi-head relax projection to task 3)
+        and beam-decodes captions identical to our decode CLI on the same
+        inputs — users can come back."""
+        import torch
+        from vlp_tpu.cli import convert as convert_cli
+        from vlp_tpu.config import VLPConfig
+        from vlp_tpu.data.example_builder import (DecodeExampleBuilder,
+                                                  collate)
+        from vlp_tpu.data.features import make_store
+        from vlp_tpu.data.tokenization import detokenize
+
+        d = str(tmp_path)
+        vocab_path = cli_common.write_synthetic_vocab(
+            os.path.join(d, "vocab.txt"), size=120)
+        cfg_json = os.path.join(d, "bert_config.json")
+        with open(cfg_json, "w") as f:
+            json.dump({"vocab_size": 120, "hidden_size": 32,
+                       "num_hidden_layers": 2, "num_attention_heads": 2,
+                       "intermediate_size": 48,
+                       "max_position_embeddings": 512}, f)
+        tokenizer = cli_common.resolve_tokenizer(vocab_path, False, 128)
+        sp = tokenizer.vocab
+        SEP, MASK = sp["[SEP]"], sp["[MASK]"]
+
+        # ---- 1. train with OUR CLI (multi-head relax, default 100 regions)
+        out = os.path.join(d, "run")
+        train_cli.main([
+            "--do_train", "--synthetic_data", "--enable_butd",
+            "--bert_model", vocab_path, "--config_path", cfg_json,
+            "--output_dir", out, "--train_batch_size", "4",
+            "--steps_per_epoch", "2", "--num_train_epochs", "2",
+            "--new_segment_ids", "--relax_projection",
+            "--max_len_b", "5", "--max_pred", "3",
+            "--learning_rate", "1e-4"])
+        ckpt_dir = os.path.join(out, "model.2")
+        assert os.path.isdir(ckpt_dir)
+
+        # ---- 2. export to the reference format -----------------------------
+        bin_path = os.path.join(d, "model.2.bin")
+        convert_cli.main(["--input", ckpt_dir, "--output", bin_path,
+                          "--direction", "jax2torch", "--new_segment_ids",
+                          "--relax_projection", "--config_path", cfg_json,
+                          "--vocab_size", "120"])
+
+        # ---- 3. OUR decode CLI on the native checkpoint --------------------
+        T = 5
+        dec_out = os.path.join(d, "dec")
+        decode_cli.main([
+            "--synthetic_data", "--enable_butd", "--bert_model", vocab_path,
+            "--config_path", cfg_json, "--new_segment_ids",
+            "--batch_size", "3", "--beam_size", "5",
+            "--length_penalty", "0.5", "--min_len", "2",
+            "--max_tgt_length", str(T), "--num_synthetic", "3",
+            "--model_recover_path", ckpt_dir, "--output_dir", dec_out])
+        preds = {p["image_id"]: p["caption"] for p in json.load(
+            open(os.path.join(dec_out, "preds-model.2-val.json")))}
+        assert set(preds) == {0, 1, 2}
+
+        # ---- 4. the reference's own from_pretrained + beam search ----------
+        cfg = VLPConfig.from_reference_json(
+            cfg_json, type_vocab_size=6, relax_projection=4,
+            len_vis_input=100, max_len_b=T, dtype="float32",
+            use_pallas_attention=False)
+        store = make_store(synthetic=True, num_regions=100,
+                           feat_dim=cfg.vis_feat_dim,
+                           cls_dim=cfg.vis_cls_dim)
+        builder = DecodeExampleBuilder(cfg, sp, new_segment_ids=True,
+                                       max_tgt_length=T)
+        batch = collate([builder(*store.get(f"synthetic_{i}.npy"))
+                         for i in range(3)])
+        nb, L_out = 3, cfg.prefix_len + T
+        s2s = np.zeros((L_out, L_out), np.float32)
+        s2s[:, :cfg.prefix_len] = 1
+        for i in range(cfg.prefix_len, L_out):
+            s2s[i, cfg.prefix_len:i + 1] = 1
+        ref_dec = ref_modeling.BertForSeq2SeqDecoder.from_pretrained(
+            d, state_dict=torch.load(bin_path), config_path=cfg_json,
+            max_position_embeddings=512, type_vocab_size=6, task_idx=3,
+            mask_word_id=MASK, search_beam_size=5, length_penalty=0.5,
+            eos_id=SEP, forbid_duplicate_ngrams=False,
+            forbid_ignore_set=None, ngram_size=3, min_len=2,
+            enable_butd=True, len_vis_input=100)
+        ref_dec.eval()
+        with torch.no_grad():
+            traces = ref_dec(
+                torch.from_numpy(batch["vis_feats"]),
+                torch.from_numpy(batch["vis_pe"]),
+                torch.from_numpy(batch["input_ids"].astype(np.int64)),
+                torch.from_numpy(
+                    batch["segment_ids"][:, :L_out].astype(np.int64)),
+                torch.from_numpy(
+                    batch["position_ids"][:, :L_out].astype(np.int64)),
+                torch.from_numpy(np.tile(s2s[None], (nb, 1, 1))),
+                task_idx=torch.from_numpy(
+                    batch["task_idx"].astype(np.int64)))
+        ref_pred = traces["pred_seq"].numpy()
+
+        def caption_of(row):
+            words = []
+            for t in tokenizer.convert_ids_to_tokens([int(x) for x in row]):
+                if t in ("[SEP]", "[PAD]"):
+                    break
+                words.append(t)
+            return " ".join(detokenize(words))
+
+        for i in range(3):
+            assert preds[i] == caption_of(ref_pred[i]), i
