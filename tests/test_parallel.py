@@ -454,8 +454,9 @@ class TestShardMapSCST:
 
         st_m, b_m = tr_mesh.shard_inputs(state, batch)
         rng_key = jax.random.PRNGKey(3)
-        greedy_m, sample_m = tr_mesh.rollouts(st_m.params, b_m, rng_key)
-        greedy_s, _ = tr_single.rollouts(state.params, batch, rng_key)
+        greedy_m, sample_m, raw_m = tr_mesh.rollouts(st_m.params, b_m,
+                                                     rng_key)
+        greedy_s, _, _ = tr_single.rollouts(state.params, batch, rng_key)
         # greedy baseline is deterministic -> must match exactly
         np.testing.assert_array_equal(greedy_m, greedy_s)
 
@@ -469,8 +470,9 @@ class TestShardMapSCST:
             sl = slice(sh, sh + 1)
             shard_batch = {k: v[sl] for k, v in batch.items()}
             _, g = jax.value_and_grad(tr_single._pg_loss, has_aux=True)(
-                state.params, shard_batch, jnp.asarray(sample_m[sl]),
-                jnp.asarray(reward[sl]), jax.random.PRNGKey(0))
+                state.params, shard_batch, jnp.asarray(raw_m[sl]),
+                jnp.asarray(sample_m[sl]), jnp.asarray(reward[sl]),
+                jax.random.PRNGKey(0))
             per_shard.append(g)
         mean_g = jax.tree_util.tree_map(
             lambda *gs: sum(gs) / len(gs), *per_shard)

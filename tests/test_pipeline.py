@@ -437,6 +437,64 @@ class TestSCST:
         r2 = scst_lib.get_self_critical_reward(good, gt, bad)
         assert (r2 < 0).all()
 
+    def test_loss_uses_raw_logprobs_with_cleaned_mask(self, rng):
+        """Reference rl_crit semantics (run_img2txt_dist.py:506-523): the
+        loss pairs the RAW sampling pass's log-probs with the CLEANED
+        sequence's mask — the one unmasked position after a terminating EOS
+        contributes log p(raw continuation token), NOT log p(pad).
+        ``loss_and_grads`` must therefore equal the loss computed directly
+        from the rollout's own log-probs."""
+        from vlp_tpu.losses import scst_reward_loss
+        cfg = tiny_cfg()
+        model = VLPModel(cfg)
+        params = ts.init_params(model, cfg, jax.random.PRNGKey(0))
+        builder = DecodeExampleBuilder(cfg, VOCAB,
+                                       max_tgt_length=cfg.max_len_b)
+        s = store(cfg)
+        batch = {k: jnp.asarray(v) for k, v in collate(
+            [builder(*s.get(f"i{j}")) for j in range(4)]).items()}
+        trainer = scst_lib.SCSTTrainer(
+            model, cfg, mask_id=VOCAB["[MASK]"], eos_id=VOCAB["[SEP]"],
+            max_tgt_length=cfg.max_len_b)
+        gt = np.array([[6, 7, 10, 4, 0], [8, 11, 4, 0, 0],
+                       [6, 8, 9, 4, 0], [7, 10, 12, 4, 0]], np.int32)
+
+        # find a seed whose sampled rollout terminates with EOS mid-row AND
+        # keeps sampling a non-pad token right after — the position where
+        # raw-vs-cleaned forcing genuinely differs
+        eos = VOCAB["[SEP]"]
+        for seed in range(40):
+            key = jax.random.PRNGKey(seed)
+            raw, lps = trainer.decoder.sample(params, batch, key,
+                                              train_mode=True)
+            raw = np.asarray(raw)
+            hit = False
+            for b in range(raw.shape[0]):
+                eos_t = np.where(raw[b] == eos)[0]
+                if eos_t.size and eos_t[0] < raw.shape[1] - 1 \
+                        and raw[b, eos_t[0] + 1] != 0:
+                    hit = True
+            if hit:
+                break
+        assert hit, "no rollout with a live post-EOS continuation found"
+
+        cleaned = scst_lib.clean_rollout(raw, eos, 0)
+        greedy, sample, sample_raw = trainer.rollouts(params, batch, key)
+        np.testing.assert_array_equal(sample_raw, raw)
+        np.testing.assert_array_equal(sample, cleaned)
+        reward = scst_lib.get_self_critical_reward(greedy, gt, sample)
+        want = float(scst_reward_loss(jnp.asarray(lps),
+                                      jnp.asarray(cleaned),
+                                      jnp.asarray(reward)))
+        loss, _, _ = trainer.loss_and_grads(params, batch, gt, key)
+        np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+        # and the cleaned-forced loss is genuinely different here, so the
+        # assertion above is non-vacuous
+        (other, _), _ = trainer._loss_grad(
+            params, batch, jnp.asarray(cleaned), jnp.asarray(cleaned),
+            jnp.asarray(reward), jax.random.split(key)[1])
+        assert abs(float(other) - want) > 1e-6
+
     def test_train_mode_forced_logprobs_replay_dropout(self, rng):
         """Forced replay with the rollout's dropout key must reproduce the
         train-mode (dropout-active) sampling rollout's log-probs exactly."""

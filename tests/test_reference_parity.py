@@ -600,3 +600,194 @@ class TestDecoderParity:
             ours["wids"], traces["wids"].numpy()[:, :T, :])
         np.testing.assert_array_equal(
             ours["ptrs"], traces["ptrs"].numpy()[:, :T, :])
+
+
+@pytest.fixture(scope="module")
+def ref_scst_utils(ref_modeling):
+    """The reference's actual scst_utils module (RewardCriterion).  Its
+    pycocoevalcap import (empty coco-caption submodule) is stubbed — the
+    CIDEr scorer is never invoked here because rewards are injected; reward
+    computation parity is pinned separately in
+    tests/test_pipeline.py::TestSCST::test_get_self_critical_reward_oracle."""
+    for name in ("pycocoevalcap", "pycocoevalcap.cider"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    cider_mod = types.ModuleType("pycocoevalcap.cider.cider")
+
+    class _Cider:
+        def __init__(self, *a, **k):
+            pass
+
+    cider_mod.Cider = _Cider
+    sys.modules.setdefault("pycocoevalcap.cider.cider", cider_mod)
+    spec = importlib.util.spec_from_file_location(
+        "ref_scst_utils", "/root/reference/vlp/scst_utils.py")
+    m = importlib.util.module_from_spec(spec)
+    sys.modules["ref_scst_utils"] = m
+    spec.loader.exec_module(m)
+    return m
+
+
+class TestSCSTEquivalence:
+    """N-step SCST training equivalence against the ACTUAL reference stack:
+    the real ``BertForSeq2SeqDecoder(search_beam_size=1)`` (the class the
+    reference's --scst branch trains, run_img2txt_dist.py:357-362), its
+    sampling forward (modeling.py:1227-1236), the real
+    ``scst_utils.RewardCriterion`` and the real ``BertAdam`` — vs
+    ``SCSTTrainer``'s forced-replay policy gradient and ``optim.bert_adam``
+    from the same converted init.
+
+    Sampling is pinned on both sides to prescribed raw token ids
+    (``torch.multinomial`` monkeypatched to emit them; our side forces the
+    replay to them), rewards are injected identically, dropout 0.  The
+    prescription deliberately includes rows that terminate with EOS
+    mid-sequence followed by live continuation tokens — the exact spot where
+    the reference pairs RAW-rollout log-probs with the CLEANED sequence's
+    mask (run_img2txt_dist.py:506-523), so this test pins that semantics
+    end-to-end: per-step losses equal along the whole curve, final weights
+    equal parameter-by-parameter."""
+
+    N_STEPS = 8
+    LR = 1e-3
+    T = 5
+    B = 3
+
+    def test_nstep_scst_curve_and_weights(self, ref_modeling,
+                                          ref_optimization, ref_scst_utils,
+                                          rng, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import torch
+        from vlp_tpu import checkpoint as ckpt
+        from vlp_tpu import scst as scst_lib
+        from vlp_tpu.parallel import train_step as ts
+
+        N, B, T = self.N_STEPS, self.B, self.T
+        MASK_ID, EOS_ID = 5, 4
+        cfg = _vlp_cfg().replace(max_len_b=T, relax_projection=0,
+                                 hidden_dropout_prob=0.0,
+                                 attention_probs_dropout_prob=0.0)
+        torch.manual_seed(7)
+        ref_cfg = ref_modeling.BertConfig(
+            vocab_size_or_config_json_file=cfg.vocab_size,
+            hidden_size=cfg.hidden_size,
+            num_hidden_layers=cfg.num_hidden_layers,
+            num_attention_heads=cfg.num_attention_heads,
+            intermediate_size=cfg.intermediate_size,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            type_vocab_size=cfg.type_vocab_size, relax_projection=0)
+        ref = ref_modeling.BertForSeq2SeqDecoder(
+            ref_cfg, mask_word_id=MASK_ID, search_beam_size=1,
+            eos_id=EOS_ID, enable_butd=True, len_vis_input=100)
+        ref.train()
+        rl_crit = ref_scst_utils.RewardCriterion()
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        from vlp_tpu.models.model import VLPModel
+        model = VLPModel(cfg)
+        tpl = ts.init_params(model, cfg, jax.random.PRNGKey(2))
+        params0 = ckpt.torch_to_params(dict(sd), cfg, tpl)
+
+        # optimizers, both exactly as the train CLIs build them
+        no_decay = ["bias", "LayerNorm.bias", "LayerNorm.weight"]
+        named = list(ref.named_parameters())
+        groups = [
+            {"params": [p for n, p in named
+                        if not any(nd in n for nd in no_decay)],
+             "weight_decay": 0.01},
+            {"params": [p for n, p in named
+                        if any(nd in n for nd in no_decay)],
+             "weight_decay": 0.0},
+        ]
+        ref_opt = ref_optimization.BertAdam(
+            groups, lr=self.LR, warmup=0.1, t_total=N,
+            schedule="warmup_linear")
+        tx = ts.make_optimizer(cfg, params0, lr=self.LR, warmup=0.1,
+                               t_total=N, schedule="warmup_linear",
+                               weight_decay=0.01)
+        state = ts.TrainState(params=params0, opt_state=tx.init(params0),
+                              step=jnp.zeros((), jnp.int32))
+        trainer = scst_lib.SCSTTrainer(model, cfg, mask_id=MASK_ID,
+                                       eos_id=EOS_ID, pad_id=0,
+                                       max_tgt_length=T, tx=tx)
+
+        helper = TestDecoderParity()
+        ids, seg, pos, mask, vf, vp, task = helper._decode_inputs(
+            cfg, B, T, rng)
+        L = cfg.seq_len
+        batch = dict(
+            input_ids=jnp.asarray(ids, jnp.int32),
+            segment_ids=jnp.asarray(
+                np.pad(seg, ((0, 0), (0, L - seg.shape[1]))), jnp.int32),
+            position_ids=jnp.asarray(
+                np.tile(np.arange(L, dtype=np.int32), (B, 1))),
+            task_idx=jnp.asarray(task, jnp.int32),
+            vis_feats=jnp.asarray(vf), vis_pe=jnp.asarray(vp))
+        t_vf, t_vp = torch.from_numpy(vf), torch.from_numpy(vp)
+        t_ids, t_seg = torch.from_numpy(ids), torch.from_numpy(seg)
+        t_pos, t_mask = torch.from_numpy(pos), torch.from_numpy(mask)
+        t_task = torch.from_numpy(task)
+
+        # prescribed raw rollouts: row 0 hits EOS mid-row with live
+        # continuations after it (the raw-vs-cleaned spot), row 1 samples a
+        # raw pad, row 2 never terminates
+        def make_raw(step_rng):
+            raw = step_rng.integers(6, cfg.vocab_size, (B, T))
+            raw[0, 2] = EOS_ID
+            raw[1, 3] = 0
+            return raw.astype(np.int64)
+
+        losses_ref, losses_ours = [], []
+        for i in range(N):
+            step_rng = np.random.default_rng(100 + i)
+            raw = make_raw(step_rng)
+            cleaned = scst_lib.clean_rollout(raw, EOS_ID, 0)
+            assert (cleaned != raw).any()
+            reward = np.repeat(
+                step_rng.normal(0, 1.5, (B, 1)), T, 1).astype(np.float32)
+
+            # --- reference: pinned multinomial, real sampling forward ----
+            cols = iter(raw.T)
+
+            def fake_multinomial(probs, num_samples=1, replacement=True):
+                assert probs.shape == (B, cfg.vocab_size)
+                return torch.from_numpy(
+                    np.ascontiguousarray(next(cols)[:, None]))
+
+            monkeypatch.setattr(torch, "multinomial", fake_multinomial)
+            gen_raw, sample_logprobs = ref(
+                t_vf, t_vp, t_ids, t_seg, t_pos, t_mask, task_idx=t_task,
+                sample_mode='sample')
+            monkeypatch.undo()
+            np.testing.assert_array_equal(gen_raw.detach().numpy(), raw)
+            ref_loss = rl_crit(sample_logprobs,
+                               torch.from_numpy(cleaned),
+                               torch.from_numpy(reward))
+            ref_loss.backward()
+            ref_opt.step()
+            ref_opt.zero_grad()
+            losses_ref.append(float(ref_loss.detach()))
+
+            # --- ours: forced replay of the same raw ids -----------------
+            if i == 0:
+                forced = trainer._forced_logprobs(
+                    state.params, batch, jnp.asarray(raw, jnp.int32))
+                np.testing.assert_allclose(
+                    np.asarray(forced), sample_logprobs.detach().numpy(),
+                    rtol=1e-4, atol=1e-5)
+            state, loss, _ = trainer._grad_update(
+                state, batch, jnp.asarray(raw, jnp.int32),
+                jnp.asarray(cleaned, jnp.int32), jnp.asarray(reward), None)
+            losses_ours.append(float(loss))
+
+        np.testing.assert_allclose(np.asarray(losses_ours),
+                                   np.asarray(losses_ref),
+                                   rtol=1e-3, atol=1e-4)
+
+        sd_final = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        tpl_f = jax.tree_util.tree_map(np.asarray, state.params)
+        converted = ckpt.torch_to_params(dict(sd_final), cfg, tpl_f)
+        for (p1, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(converted),
+                jax.tree_util.tree_leaves_with_path(tpl_f)):
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-4,
+                                       err_msg=str(p1))

@@ -11,10 +11,22 @@ loop; that does not exist under jit):
   1. sample a rollout with the jitted KV-cache decoder (no grad),
   2. clean + score it on host (native CIDEr — the reference's per-token
      EOS/pad cleanup loops become a vectorised mask),
-  3. re-run the rollout *forced* to the sampled ids inside
+  3. re-run the rollout *forced* to the RAW sampled ids inside
      ``jax.value_and_grad`` — a differentiable ``lax.scan`` that yields the
      same log-probs with a gradient path to the parameters (REINFORCE treats
      the sampled ids as constants, so forcing is exact).
+
+Raw vs cleaned ids: the reference's ``rl_crit(sample_logprobs,
+gen_result.data, reward)`` (run_img2txt_dist.py:506-523) pairs log-probs
+from the RAW sampling pass with the CLEANED sequence's mask.  Because the
+RewardCriterion mask is ``[1, (seq>0)[:, :-1]]`` (scst_utils.py:73-74), the
+position immediately after a terminating EOS is still unmasked — and its
+log-prob is that of the raw continuation token the policy actually sampled
+there, NOT of the pad the cleanup wrote.  The replay therefore forces the
+raw ids while the loss masks with the cleaned ids; conditioning up to that
+position is identical either way (raw == cleaned through the EOS), and all
+later positions are masked out.  Pinned against the actual reference module
+in tests/test_reference_parity.py::TestSCSTEquivalence.
 
 Dropout parity: the reference samples with dropout active (model.train(),
 run_img2txt_dist.py:505-507).  The sampled rollout here runs in train mode
@@ -155,13 +167,13 @@ class SCSTTrainer:
         rep = P()
         data = lambda x: P("data", *([None] * (x.ndim - 1)))  # noqa: E731
 
-        def body(state, batch, gen_result, reward, rng):
+        def body(state, batch, gen_raw, gen_clean, reward, rng):
             # same fold + split structure as the rollout body: drop_rng is
             # split(rng_shard)[1], matching _run_greedy's internal split
             _, drop_rng = jax.random.split(self._fold_shard(rng))
             (loss, metrics), grads = jax.value_and_grad(
-                self._pg_loss, has_aux=True)(state.params, batch, gen_result,
-                                             reward, drop_rng)
+                self._pg_loss, has_aux=True)(state.params, batch, gen_raw,
+                                             gen_clean, reward, drop_rng)
             grads = jax.lax.pmean(grads, "data")
             loss = jax.lax.pmean(loss, "data")
             metrics = jax.tree_util.tree_map(
@@ -180,6 +192,7 @@ class SCSTTrainer:
         aux_tree = jax.eval_shape(
             lambda p, b: self._pg_loss(
                 p, b, jnp.zeros((bsz, self.T), jnp.int32),
+                jnp.zeros((bsz, self.T), jnp.int32),
                 jnp.zeros((bsz, self.T), jnp.float32),
                 jax.random.PRNGKey(0))[1],
             state.params, batch)
@@ -187,7 +200,7 @@ class SCSTTrainer:
             body, mesh=self.mesh,
             in_specs=(jax.tree_util.tree_map(lambda _: rep, state),
                       jax.tree_util.tree_map(lambda x: data(x), batch),
-                      P("data"), P("data"), rep),
+                      P("data"), P("data"), P("data"), rep),
             out_specs=(jax.tree_util.tree_map(lambda _: rep, state),
                        rep, jax.tree_util.tree_map(lambda _: rep, aux_tree)),
             check_vma=False)
@@ -218,10 +231,11 @@ class SCSTTrainer:
                                                  sample=True, train_mode=True)
         return greedy_ids, sample_ids
 
-    def _run_grad_update(self, state, batch, gen_result, reward, drop_rng):
+    def _run_grad_update(self, state, batch, gen_raw, gen_clean, reward,
+                         drop_rng):
         (loss, metrics), grads = jax.value_and_grad(
-            self._pg_loss, has_aux=True)(state.params, batch, gen_result,
-                                         reward, drop_rng)
+            self._pg_loss, has_aux=True)(state.params, batch, gen_raw,
+                                         gen_clean, reward, drop_rng)
         updates, new_opt = self.tx.update(grads, state.opt_state,
                                           state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -276,9 +290,12 @@ class SCSTTrainer:
         (_, _), lp_rest = jax.lax.scan(body, (gk, gv), jnp.arange(self.T - 1))
         return jnp.concatenate([lp0[None], lp_rest], axis=0).T  # [B, T]
 
-    def _pg_loss(self, params, batch, gen_result, reward, drop_rng):
-        logprobs = self._forced_logprobs(params, batch, gen_result, drop_rng)
-        loss = losses_lib.scst_reward_loss(logprobs, gen_result, reward)
+    def _pg_loss(self, params, batch, gen_raw, gen_clean, reward, drop_rng):
+        # log-probs of the RAW rollout (what the sampling pass computed);
+        # mask from the CLEANED sequence — reference rl_crit semantics, see
+        # the module docstring
+        logprobs = self._forced_logprobs(params, batch, gen_raw, drop_rng)
+        loss = losses_lib.scst_reward_loss(logprobs, gen_clean, reward)
         return loss, {"scst_loss": loss}
 
     # -- public API --------------------------------------------------------
@@ -286,13 +303,16 @@ class SCSTTrainer:
         """Greedy baseline in eval mode, sample in train mode (dropout on),
         matching run_img2txt_dist.py:494-507 — one device dispatch.  With a
         mesh the rollouts run per shard and the (small, int) ids gather to
-        host here."""
+        host here.  Returns ``(greedy_clean, sample_clean, sample_raw)``:
+        the cleaned pair feeds the CIDEr reward and the loss mask, the raw
+        sample is what the forced replay must reproduce (module docstring)."""
         if self.mesh is not None and self._both_rollouts is None:
             self._both_rollouts = self._make_sharded_rollouts(params, batch)
         greedy_ids, sample_ids = self._both_rollouts(params, batch, rng)
+        sample_raw = np.asarray(sample_ids)
         greedy = clean_rollout(np.asarray(greedy_ids), self.eos_id, self.pad_id)
-        sample = clean_rollout(np.asarray(sample_ids), self.eos_id, self.pad_id)
-        return greedy, sample
+        sample = clean_rollout(sample_raw, self.eos_id, self.pad_id)
+        return greedy, sample, sample_raw
 
     def loss_and_grads(self, params, batch, gt_ids: np.ndarray, rng):
         """Returns (loss, grads, metrics).  ``gt_ids`` are the ground-truth
@@ -300,14 +320,14 @@ class SCSTTrainer:
         run_img2txt_dist.py:517).  Single-device API (the mesh path is
         ``step``)."""
         assert self.mesh is None, "use step() on the mesh path"
-        greedy, sample = self.rollouts(params, batch, rng)
+        greedy, sample, sample_raw = self.rollouts(params, batch, rng)
         reward = get_self_critical_reward(greedy, gt_ids, sample)
         # the rollout derives its dropout key as split(rng)[1] (decode.py
         # _run_greedy); replay the same masks in the forced pass
         _, drop_rng = jax.random.split(rng)
         (loss, metrics), grads = self._loss_grad(
-            params, batch, jnp.asarray(sample), jnp.asarray(reward),
-            drop_rng)
+            params, batch, jnp.asarray(sample_raw), jnp.asarray(sample),
+            jnp.asarray(reward), drop_rng)
         metrics = dict(metrics, mean_reward=float(reward[:, 0].mean()))
         return loss, grads, metrics
 
@@ -317,13 +337,13 @@ class SCSTTrainer:
         Returns (new_state, loss, metrics).  With a mesh, the replay step
         runs per shard with grads pmean'd (DDP-SCST semantics)."""
         assert self.tx is not None, "pass tx= to SCSTTrainer for step()"
-        greedy, sample = self.rollouts(state.params, batch, rng)
+        greedy, sample, sample_raw = self.rollouts(state.params, batch, rng)
         reward = get_self_critical_reward(greedy, gt_ids, sample)
         if self.mesh is None:
             _, drop_rng = jax.random.split(rng)
             state, loss, metrics = self._grad_update(
-                state, batch, jnp.asarray(sample), jnp.asarray(reward),
-                drop_rng)
+                state, batch, jnp.asarray(sample_raw), jnp.asarray(sample),
+                jnp.asarray(reward), drop_rng)
         else:
             if self._grad_update is None:
                 self._grad_update = self._make_sharded_grad_update(state,
@@ -331,6 +351,7 @@ class SCSTTrainer:
             # raw rng: the body folds by shard + splits, mirroring the
             # rollout body's key derivation exactly
             state, loss, metrics = self._grad_update(
-                state, batch, jnp.asarray(sample), jnp.asarray(reward), rng)
+                state, batch, jnp.asarray(sample_raw), jnp.asarray(sample),
+                jnp.asarray(reward), rng)
         metrics = dict(metrics, mean_reward=float(reward[:, 0].mean()))
         return state, float(loss), metrics
