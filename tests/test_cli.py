@@ -221,12 +221,14 @@ class TestTrainCLI:
         log = open(os.path.join(out, "training.log")).read()
         assert "mean loss" in log
 
-    def test_scst_train(self, fixtures):
-        out = os.path.join(fixtures["dir"], "out_scst")
+    @pytest.mark.parametrize("replay", ["scan", "fused"])
+    def test_scst_train(self, fixtures, replay):
+        out = os.path.join(fixtures["dir"], f"out_scst_{replay}")
         train_cli.main(base_train_args(
             fixtures, out, ["--num_train_epochs", "1", "--scst",
                             "--max_pred", "0", "--mask_prob", "0",
                             "--dataset", "coco", "--train_batch_size", "4",
+                            "--scst_replay", replay,
                             "--learning_rate", "1e-6"]))
         assert os.path.isdir(os.path.join(out, "model.1"))
 

@@ -437,6 +437,71 @@ class TestSCST:
         r2 = scst_lib.get_self_critical_reward(good, gt, bad)
         assert (r2 < 0).all()
 
+    @pytest.mark.parametrize("pallas_dec", [False, True])
+    def test_fused_replay_matches_rollout_dropout(self, rng, pallas_dec):
+        """replay="fused": the teacher-forced dual-block pass
+        (VLPModel.scst_replay_hidden) must reproduce the explicit-dropout
+        sampled rollout's log-probs EXACTLY (same masks, re-drawn from the
+        shared key contract) — on both cache layouts — and, deterministically
+        (no dropout key), must equal the scan replay bit-for-bit."""
+        import functools
+        cfg = tiny_cfg().replace(use_pallas_decode=pallas_dec)
+        model = VLPModel(cfg)
+        params = ts.init_params(model, cfg, jax.random.PRNGKey(0))
+        builder = DecodeExampleBuilder(cfg, VOCAB,
+                                       max_tgt_length=cfg.max_len_b)
+        s = store(cfg)
+        batch = {k: jnp.asarray(v) for k, v in collate(
+            [builder(*s.get(f"i{j}")) for j in range(3)]).items()}
+        tr = scst_lib.SCSTTrainer(
+            model, cfg, mask_id=VOCAB["[MASK]"], eos_id=VOCAB["[SEP]"],
+            max_tgt_length=cfg.max_len_b, replay="fused")
+        key = jax.random.PRNGKey(11)
+        ids, lps = jax.jit(functools.partial(
+            tr.decoder._run_greedy, sample=True, train_mode=True,
+            explicit_dropout=True))(params, batch, key)
+        _, drop_rng = jax.random.split(key)
+        forced = tr._forced_logprobs_fused(params, batch, jnp.asarray(ids),
+                                           drop_rng)
+        np.testing.assert_allclose(np.asarray(forced), np.asarray(lps),
+                                   rtol=1e-5, atol=1e-6)
+        # dropout genuinely active: a different key changes the log-probs
+        other = tr._forced_logprobs_fused(params, batch, jnp.asarray(ids),
+                                          jax.random.PRNGKey(99))
+        assert np.abs(np.asarray(other) - np.asarray(lps)).max() > 1e-4
+        # deterministic: fused == scan replay (same function; tolerance is
+        # fp reassociation between the two compiled structures)
+        f0 = tr._forced_logprobs_fused(params, batch, jnp.asarray(ids))
+        s0 = tr._forced_logprobs(params, batch, jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(f0), np.asarray(s0),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_fused_replay_grads_match_scan(self, rng):
+        """With dropout off the fused and scan replays are the same
+        function, so the full loss_and_grads pipelines must agree."""
+        cfg = tiny_cfg().replace(hidden_dropout_prob=0.0,
+                                 attention_probs_dropout_prob=0.0)
+        model = VLPModel(cfg)
+        params = ts.init_params(model, cfg, jax.random.PRNGKey(0))
+        builder = DecodeExampleBuilder(cfg, VOCAB,
+                                       max_tgt_length=cfg.max_len_b)
+        s = store(cfg)
+        batch = {k: jnp.asarray(v) for k, v in collate(
+            [builder(*s.get(f"i{j}")) for j in range(2)]).items()}
+        kw = dict(mask_id=VOCAB["[MASK]"], eos_id=VOCAB["[SEP]"],
+                  max_tgt_length=cfg.max_len_b)
+        gt = np.array([[6, 7, 10, 4, 0], [8, 11, 4, 0, 0]], np.int32)
+        tr_scan = scst_lib.SCSTTrainer(model, cfg, **kw)
+        tr_fused = scst_lib.SCSTTrainer(model, cfg, replay="fused", **kw)
+        l0, g0, _ = tr_scan.loss_and_grads(params, batch, gt,
+                                           jax.random.PRNGKey(1))
+        l1, g1, _ = tr_fused.loss_and_grads(params, batch, gt,
+                                            jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6), g0, g1)
+
     def test_loss_uses_raw_logprobs_with_cleaned_mask(self, rng):
         """Reference rl_crit semantics (run_img2txt_dist.py:506-523): the
         loss pairs the RAW sampling pass's log-probs with the CLEANED

@@ -35,14 +35,15 @@ ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "SCST_BENCH.json")
 
 
-def build_trainer(cfg, batch, T, lr=1e-6, remat=False):
+def build_trainer(cfg, batch, T, lr=1e-6, remat=False, replay="scan"):
     from vlp_tpu.parallel import train_step as ts
     from vlp_tpu.scst import SCSTTrainer
     model = ts.create_model(cfg)
     state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
                                       lr=lr, warmup=0.1, t_total=100000)
     trainer = SCSTTrainer(model, cfg, mask_id=103, eos_id=102, pad_id=0,
-                          max_tgt_length=T, tx=tx, remat=remat)
+                          max_tgt_length=T, tx=tx, remat=remat,
+                          replay=replay)
     return trainer, state
 
 
@@ -84,6 +85,11 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the forced-replay scan body "
                          "(needed to fit B>=256 on a 16G chip)")
+    ap.add_argument("--replay", default="scan", choices=("scan", "fused"),
+                    help="policy-gradient replay implementation")
+    ap.add_argument("--ab_replay", action="store_true",
+                    help="interleave replay='fused' vs replay='scan' (same "
+                         "rollout layout) in this one process")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -102,13 +108,20 @@ def main():
     gt_ids = rng_np.integers(1000, 5000, (B, T)).astype(np.int64)
     gt_ids[:, 10:] = 0  # captions ~10 tokens
 
-    variants = [("kernel_layout", cfg)]
-    if args.ab:
-        variants.append(("head_major", cfg.replace(use_pallas_decode=False)))
+    if args.ab_replay:
+        variants = [("kernel_layout", cfg, "fused"),
+                    ("scan_replay", cfg, "scan")]
+    else:
+        variants = [("kernel_layout", cfg, args.replay)]
+        if args.ab:
+            variants.append(
+                ("head_major", cfg.replace(use_pallas_decode=False),
+                 args.replay))
 
     built = []
-    for name, vcfg in variants:
-        trainer, state = build_trainer(vcfg, batch, T, remat=args.remat)
+    for name, vcfg, replay in variants:
+        trainer, state = build_trainer(vcfg, batch, T, remat=args.remat,
+                                       replay=replay)
         built.append((name, trainer, state))
 
     # interleave variants window by window (A/B discipline)
@@ -124,9 +137,10 @@ def main():
 
     entry = {"label": args.label or "scst", "backend": jax.default_backend(),
              "time": time.strftime("%Y-%m-%d %H:%M:%S"),
+             "replay": "fused-vs-scan" if args.ab_replay else args.replay,
              "methodology": (f"best of {args.windows} windows x "
                              f"{args.outer} steps, B={B} (interleaved A/B)"
-                             if args.ab else
+                             if (args.ab or args.ab_replay) else
                              f"best of {args.windows} windows x "
                              f"{args.outer} steps, B={B}")}
     for name, rates in results.items():

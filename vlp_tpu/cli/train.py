@@ -126,7 +126,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scst_remat", action="store_true",
                    help="rematerialise the SCST forced-replay scan in the "
                         "backward pass (jax.checkpoint): per-chip SCST "
-                        "batches >=256 otherwise exceed a 16G chip's HBM")
+                        "batches >=256 otherwise exceed a 16G chip's HBM "
+                        "(scan replay only)")
+    p.add_argument("--scst_replay", default="scan",
+                   choices=("scan", "fused"),
+                   help="policy-gradient replay: 'scan' = per-step "
+                        "differentiable decode (reference-shaped); 'fused' "
+                        "= one teacher-forced dual-block pass (no scan "
+                        "carry, MXU-shaped — same gradients, same dropout "
+                        "masks as the rollout)")
     p.add_argument("--answer_vocab_file", default="", type=str)
     # TPU-specific
     p.add_argument("--synthetic_data", action="store_true",
@@ -548,7 +556,7 @@ def main(argv=None):
         scst_trainer = SCSTTrainer(
             model, cfg, mask_id=sp["[MASK]"], eos_id=sp["[SEP]"],
             pad_id=sp["[PAD]"], max_tgt_length=cfg.max_len_b, tx=tx,
-            mesh=mesh, remat=args.scst_remat)
+            mesh=mesh, remat=args.scst_remat, replay=args.scst_replay)
     elif args.device_loop_steps > 1:
         if mesh is not None:
             multi_make = pjit_step.make_shard_map_multi_step(

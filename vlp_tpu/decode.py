@@ -257,11 +257,19 @@ class Decoder:
             self.dp.mask_id, method=VLPModel.prefill, **kw)
 
     def _step(self, params, prev_ids, seg, pos, pk, pv, gk, gv, gen_len,
-              dropout_rng=None, t=None, beam_bias=None):
+              dropout_rng=None, t=None, beam_bias=None, explicit=False):
         kw = {}
         if dropout_rng is not None:
-            kw = dict(rngs={"dropout": jax.random.fold_in(dropout_rng, t + 1)},
-                      deterministic=False)
+            if explicit:
+                # explicit-dropout contract (SCST fused replay): masks are
+                # drawn from caller-visible (key, shape) pairs so the
+                # teacher-forced dual-block replay can re-draw them
+                # (model.explicit_dropout / VLPModel._scst_replay_drop)
+                kw = dict(dropout_key=jax.random.fold_in(dropout_rng, t + 1))
+            else:
+                kw = dict(
+                    rngs={"dropout": jax.random.fold_in(dropout_rng, t + 1)},
+                    deterministic=False)
         if beam_bias is not None:
             kw["beam_bias"] = beam_bias
         return self.model.apply(
@@ -305,7 +313,7 @@ class Decoder:
 
     # -- greedy / sample ---------------------------------------------------
     def _run_greedy(self, params, batch, rng, *, sample: bool,
-                    train_mode: bool = False):
+                    train_mode: bool = False, explicit_dropout: bool = False):
         cfg, dp = self.cfg, self.dp
         B = batch["input_ids"].shape[0]
         T = dp.max_tgt_length
@@ -334,7 +342,7 @@ class Decoder:
             hidden, gk, gv = self._step(
                 params, prev[:, None], batch["segment_ids"],
                 batch["position_ids"], pk, pv, gk, gv, t,
-                dropout_rng=drop_rng, t=t)
+                dropout_rng=drop_rng, t=t, explicit=explicit_dropout)
             logits = self._logits(params, hidden, batch["task_idx"])
             ids, lp = select(logits, sub)
             return (gk, gv, ids, rng), (ids, lp)

@@ -54,6 +54,35 @@ ACT = {"gelu": gelu_exact, "relu": nn.relu,
        "swish": lambda x: x * nn.sigmoid(x)}
 
 
+def explicit_dropout(x: Array, key, rate: float) -> Array:
+    """Dropout from a CALLER-supplied key (flax ``nn.Dropout`` numerics:
+    bernoulli keep mask, kept entries scaled by 1/keep).
+
+    The SCST fused-replay path uses this in BOTH the sampled rollout's
+    incremental steps and the teacher-forced dual-block replay so the two
+    draw IDENTICAL masks from identical (key, shape) pairs — flax
+    ``make_rng`` folds the module path and a per-apply call count into the
+    key, which a one-pass replay cannot reproduce.  Site-key scheme (shared
+    contract with ``_scst_replay_drop`` below): step key ``k_t =
+    fold_in(drop_rng, t+1)``; embeddings site ``fold_in(k_t, 0)``; layer
+    ``l`` base ``fold_in(k_t, 1+l)`` with attention-probs/attn-out/ffn-out
+    at folds 0/1/2 of the base."""
+    if rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def masked_dropout(x: Array, mask: Array, rate: float) -> Array:
+    """Apply a PRE-DRAWN keep mask with flax Dropout's scaling — the replay
+    side of the explicit-dropout contract (masks assembled by
+    ``_scst_replay_drop`` from the rollout's per-step draws)."""
+    if rate == 0.0:
+        return x
+    return jnp.where(mask, x / (1.0 - rate), jnp.zeros_like(x))
+
+
 def _layer_norm(cfg: VLPConfig, name: str) -> nn.LayerNorm:
     # fp32 layer norm regardless of activation dtype (eps matches reference 1e-5)
     return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
@@ -191,13 +220,27 @@ class TransformerLayer(nn.Module):
         return tp_ops.replicate_for_branch(x, self.cfg.tp_axis)
 
     def _post_attention(self, ctx: Array, residual: Array,
-                        deterministic: bool) -> Array:
-        h = self._row_parallel(self.out_proj, ctx)
-        h = self.dropout(h, deterministic=deterministic)
+                        deterministic: bool, dropout_key=None,
+                        drop_masks=None) -> Array:
+        """Output projection + FFN.  Three dropout modes: flax rng (default),
+        explicit per-site keys (``dropout_key`` = the layer base key,
+        attn-out/ffn-out at folds 1/2 — the SCST explicit rollout), or
+        pre-drawn keep masks (``drop_masks`` = (attn_out, ffn_out) — the
+        SCST dual-block replay)."""
+        rate = self.cfg.hidden_dropout_prob
+
+        def hdrop(y, idx):
+            if drop_masks is not None:
+                return masked_dropout(y, drop_masks[idx], rate)
+            if dropout_key is not None:
+                return explicit_dropout(
+                    y, jax.random.fold_in(dropout_key, idx + 1), rate)
+            return self.dropout(y, deterministic=deterministic)
+
+        h = hdrop(self._row_parallel(self.out_proj, ctx), 0)
         h = self.attn_ln(h + residual).astype(ctx.dtype)
-        f = self._row_parallel(self.ffn_out, self.act(self._col_parallel(
-            self.ffn_in, self._branch(h))))
-        f = self.dropout(f, deterministic=deterministic)
+        f = hdrop(self._row_parallel(self.ffn_out, self.act(
+            self._col_parallel(self.ffn_in, self._branch(h)))), 1)
         return self.ffn_ln(f + h).astype(ctx.dtype)
 
     def __call__(self, x: Array, mode: Array, text_end: Array,
@@ -320,7 +363,8 @@ class TransformerLayer(nn.Module):
     def incremental_split(self, x: Array, pk: Array, pv: Array, gk: Array,
                           gv: Array, gen_len,
                           deterministic: bool = True,
-                          beam_bias: Optional[Array] = None
+                          beam_bias: Optional[Array] = None,
+                          dropout_key=None
                           ) -> Tuple[Array, Array, Array]:
         """KV-cached step over a split cache (TPU-first decode layout).
 
@@ -342,6 +386,16 @@ class TransformerLayer(nn.Module):
             reshape of the trailing dim, so no transpose materialises.
         """
         cfg = self.cfg
+        if dropout_key is not None:
+            # SCST explicit-dropout rollout (fused-replay contract): the
+            # layer draws its masks from caller-visible keys so the
+            # dual-block replay can re-draw them (see explicit_dropout)
+            assert beam_bias is None, \
+                "explicit dropout is for sampled rollouts, not beam search"
+            impl = (self._incremental_cols if cfg.pallas_decode
+                    else self._incremental_bhpd)
+            return impl(x, pk, pv, gk, gv, gen_len, deterministic=True,
+                        dropout_key=dropout_key)
         if not cfg.pallas_decode:
             assert beam_bias is None, \
                 "fused beam reorder requires the decode kernel path"
@@ -363,7 +417,8 @@ class TransformerLayer(nn.Module):
 
     def _incremental_cols(self, x: Array, pk: Array, pv: Array, gk: Array,
                           gv: Array, gen_len,
-                          deterministic: bool = True
+                          deterministic: bool = True,
+                          dropout_key=None
                           ) -> Tuple[Array, Array, Array]:
         """KV-cached step on COLUMN-layout caches (pk/pv [B, P, H*D],
         gk/gv [B*K, G, H*D]) with attention-prob dropout support.
@@ -406,7 +461,12 @@ class TransformerLayer(nn.Module):
                           mask_ops.NEG_INF)[None, None, None]
         scores = jnp.concatenate([sp, sg + gbias], axis=-1)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        probs = self.attn_dropout(probs, deterministic=deterministic)
+        if dropout_key is not None:
+            probs = explicit_dropout(
+                probs, jax.random.fold_in(dropout_key, 0),
+                cfg.attention_probs_dropout_prob)
+        else:
+            probs = self.attn_dropout(probs, deterministic=deterministic)
         probs = probs.astype(x.dtype)
         ctx = jnp.einsum("bkhsj,bjhd->bkshd", probs[..., :P],
                          pv.reshape(B, P, Hh, D),
@@ -415,12 +475,14 @@ class TransformerLayer(nn.Module):
                                gv.reshape(B, K, G, Hh, D),
                                preferred_element_type=jnp.float32)
         ctx = ctx.astype(x.dtype).reshape(BK, S, HD)
-        out = self._post_attention(ctx, x, deterministic=deterministic)
+        out = self._post_attention(ctx, x, deterministic=deterministic,
+                                   dropout_key=dropout_key)
         return out, gk, gv
 
     def _incremental_bhpd(self, x: Array, pk: Array, pv: Array, gk: Array,
                           gv: Array, gen_len,
-                          deterministic: bool = True
+                          deterministic: bool = True,
+                          dropout_key=None
                           ) -> Tuple[Array, Array, Array]:
         """KV-cached step, head-major XLA einsum path.
 
@@ -478,7 +540,12 @@ class TransformerLayer(nn.Module):
         gbias = jnp.where(jpos <= spos, 0.0, mask_ops.NEG_INF)[None, None, None]
         scores = jnp.concatenate([sp, sg + gbias], axis=-1)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        probs = self.attn_dropout(probs, deterministic=deterministic)
+        if dropout_key is not None:
+            probs = explicit_dropout(
+                probs, jax.random.fold_in(dropout_key, 0),
+                cfg.attention_probs_dropout_prob)
+        else:
+            probs = self.attn_dropout(probs, deterministic=deterministic)
         probs = probs.astype(x.dtype)
         ctx = jnp.einsum("bkhsj,bhjd->bkhsd", probs[..., :P], pv,
                          preferred_element_type=jnp.float32)
@@ -487,8 +554,61 @@ class TransformerLayer(nn.Module):
                                preferred_element_type=jnp.float32)
         ctx = ctx.astype(x.dtype).reshape(BK, Hh, S, D)
         out = self._post_attention(self._merge(ctx), x,
-                                   deterministic=deterministic)
+                                   deterministic=deterministic,
+                                   dropout_key=dropout_key)
         return out, gk, gv
+
+    def dual_block_attend(self, x: Array, pk: Array, pv: Array, bias: Array,
+                          drop=None) -> Array:
+        """SCST teacher-forced replay attention (one pass, no cache, no
+        scan): queries are the 2(T-1) caption rows [w_0..w_{T-2} |
+        m_1..m_{T-1}], keys/values are the prompt caches plus the caption
+        rows' own projections, visibility via the static dual-block ``bias``
+        [R, P+R] (VLPModel.scst_replay_hidden builds it).
+
+        ``drop``: None (deterministic) or a dict with PRE-DRAWN keep masks
+        that bit-match the explicit-dropout rollout's draws (assembled by
+        VLPModel._scst_replay_drop): ``probs`` [B, Hh, R, P+R], ``hidden``
+        ([B, R, H], [B, R, H]).  The einsum split (prompt block + caption
+        block) mirrors ``_incremental_cols`` so the fp32 accumulation
+        structure matches the rollout's."""
+        cfg = self.cfg
+        B, R, HD = x.shape
+        D = cfg.head_dim
+        q = self.q_proj(x)
+        k = self.k_proj(x)
+        v = self.v_proj(x)
+        # normalize prompt caches to [B, P, Hh, D] from either cache layout
+        if pk.ndim == 3:                       # column layout [B, P, H*D]
+            P = pk.shape[1]
+            pk4 = pk.reshape(B, P, HD // D, D)
+            pv4 = pv.reshape(B, P, HD // D, D)
+        else:                                  # head-major [B, Hh, P, D]
+            P = pk.shape[2]
+            pk4 = pk.transpose(0, 2, 1, 3)
+            pv4 = pv.transpose(0, 2, 1, 3)
+        Hh = HD // D
+        scale = 1.0 / math.sqrt(D)
+        qb = q.reshape(B, R, Hh, D)
+        sp = jnp.einsum("brhd,bjhd->bhrj", qb, pk4,
+                        preferred_element_type=jnp.float32) * scale
+        sg = jnp.einsum("brhd,bjhd->bhrj", qb, k.reshape(B, R, Hh, D),
+                        preferred_element_type=jnp.float32) * scale
+        scores = jnp.concatenate([sp, sg], axis=-1) + bias[None, None]
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        if drop is not None:
+            probs = masked_dropout(probs, drop["probs"],
+                                   cfg.attention_probs_dropout_prob)
+        probs = probs.astype(x.dtype)
+        ctx = jnp.einsum("bhrj,bjhd->brhd", probs[..., :P], pv4,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx + jnp.einsum("bhrj,bjhd->brhd", probs[..., P:],
+                               v.reshape(B, R, Hh, D),
+                               preferred_element_type=jnp.float32)
+        ctx = ctx.astype(x.dtype).reshape(B, R, HD)
+        return self._post_attention(
+            ctx, x, deterministic=True,
+            drop_masks=None if drop is None else drop["hidden"])
 
 
 class MLMHead(nn.Module):
@@ -708,14 +828,17 @@ class VLPModel(nn.Module):
     def _split_stack(self, x: Array, pk: Array, pv: Array, gk: Array,
                      gv: Array, gen_len,
                      deterministic: bool = True,
-                     beam_bias: Optional[Array] = None
-                     ) -> Tuple[Array, Array, Array]:
+                     beam_bias: Optional[Array] = None,
+                     dropout_key=None) -> Tuple[Array, Array, Array]:
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
+            lkey = (None if dropout_key is None
+                    else jax.random.fold_in(dropout_key, 1 + i))
             x, k, v = layer.incremental_split(x, pk[i], pv[i], gk[i], gv[i],
                                               gen_len,
                                               deterministic=deterministic,
-                                              beam_bias=beam_bias)
+                                              beam_bias=beam_bias,
+                                              dropout_key=lkey)
             new_k.append(k)
             new_v.append(v)
         # per-layer TUPLES, never stacked: a stacked [L, ...] cache costs a
@@ -762,7 +885,8 @@ class VLPModel(nn.Module):
                     position_ids: Array, pk: Array, pv: Array, gk: Array,
                     gv: Array, gen_len, mask_id: int,
                     deterministic: bool = True,
-                    beam_bias: Optional[Array] = None
+                    beam_bias: Optional[Array] = None,
+                    dropout_key=None
                     ) -> Tuple[Array, Array, Array]:
         """One generation step: feed [prev_token, MASK probe] at absolute
         positions (prefix+gen_len, prefix+gen_len+1); returns probe hidden +
@@ -779,13 +903,141 @@ class VLPModel(nn.Module):
         seg = jax.lax.dynamic_slice_in_dim(segment_ids, cache_len, 2, axis=1)
         pos = jax.lax.dynamic_slice_in_dim(position_ids, cache_len, 2, axis=1)
         x = self.embeddings(ids, seg, pos, None, None,
-                            deterministic=deterministic)
+                            deterministic=(deterministic
+                                           or dropout_key is not None))
+        if dropout_key is not None:
+            # explicit-dropout rollout (SCST fused-replay contract): the
+            # Embeddings module applies dropout LAST, so applying it here
+            # after a deterministic call is the identical computation
+            x = explicit_dropout(x, jax.random.fold_in(dropout_key, 0),
+                                 self.cfg.hidden_dropout_prob)
         x, gk, gv = self._split_stack(x, pk, pv, gk, gv, gen_len,
                                       deterministic=deterministic,
-                                      beam_bias=beam_bias)
+                                      beam_bias=beam_bias,
+                                      dropout_key=dropout_key)
         return x[:, -1:, :], gk, gv
 
     def lm_logits(self, hidden: Array, task_idx: Array) -> Array:
         """MLM logits for generation (fp32, [B, S, V])."""
         word_emb = self.embeddings.word_embeddings.embedding
         return self.mlm(hidden, task_idx, word_emb)
+
+    # ------------------------------------------------------------------
+    # SCST teacher-forced replay (one dual-block pass, no scan).
+    # ------------------------------------------------------------------
+    def _scst_replay_drop(self, drop_rng, B: int, T: int):
+        """Re-draw, in dual-block row coordinates, EXACTLY the dropout masks
+        the explicit-dropout rollout draws step by step.
+
+        Rollout step t (key ``fold_in(drop_rng, t+1)``) feeds rows
+        (w_t [s=0], m_{t+1} [s=1]); its attention-probs draw covers columns
+        [prompt P | gen cache slots G] where slot j holds w_j and slot t+1
+        holds the step's own probe.  The replay's column mapping is
+        therefore row-independent: prompt identity, w_j -> P+j, and probe
+        m_{u+1}'s self column -> rollout slot u+1.  Invisible columns'
+        mask values are irrelevant (their probabilities are exact zeros).
+
+        Returns (emb_mask [B,R,H], layer_drop(l) -> dict) with R = 2(T-1),
+        rows ordered [w_0..w_{T-2} | m_1..m_{T-1}]."""
+        cfg = self.cfg
+        W = T - 1
+        P = cfg.prefix_len
+        G = VLPModel.gen_cache_slots(T)
+        Hh = cfg.num_attention_heads
+        Hd = cfg.hidden_size
+        keep_h = 1.0 - cfg.hidden_dropout_prob
+        keep_p = 1.0 - cfg.attention_probs_dropout_prob
+        keys_t = jax.vmap(
+            lambda t: jax.random.fold_in(drop_rng, t + 1))(jnp.arange(W))
+
+        def rows2(draws):          # [W, B, 2, H] -> [B, 2W, H]
+            return jnp.concatenate([draws[:, :, 0].transpose(1, 0, 2),
+                                    draws[:, :, 1].transpose(1, 0, 2)], 1)
+
+        def draw2(keys):           # per-step [B, 2, H] hidden-site draws
+            return jax.vmap(lambda k: jax.random.bernoulli(
+                k, keep_h, (B, 2, Hd)))(keys)
+
+        emb_mask = rows2(draw2(jax.vmap(
+            lambda k: jax.random.fold_in(k, 0))(keys_t)))
+
+        row_step = jnp.concatenate([jnp.arange(W), jnp.arange(W)])
+        row_s = jnp.concatenate([jnp.zeros(W, jnp.int32),
+                                 jnp.ones(W, jnp.int32)])
+        col_src = jnp.concatenate([jnp.arange(P + W),
+                                   P + 1 + jnp.arange(W)])
+
+        def layer_drop(layer_idx: int):
+            base = jax.vmap(lambda k: jax.random.fold_in(
+                k, 1 + layer_idx))(keys_t)
+            pdraw = jax.vmap(lambda k: jax.random.bernoulli(
+                jax.random.fold_in(k, 0), keep_p,
+                (B, 1, Hh, 2, P + G)))(base)[:, :, 0]   # [W,B,Hh,2,P+G]
+            sel = pdraw[row_step, :, :, row_s]          # [R, B, Hh, P+G]
+            probs = jnp.take(sel, col_src, axis=-1).transpose(1, 2, 0, 3)
+            mh = rows2(draw2(jax.vmap(
+                lambda k: jax.random.fold_in(k, 1))(base)))
+            mf = rows2(draw2(jax.vmap(
+                lambda k: jax.random.fold_in(k, 2))(base)))
+            return {"probs": probs, "hidden": (mh, mf)}
+
+        return emb_mask, layer_drop
+
+    def scst_replay_hidden(self, forced_ids: Array, segment_ids: Array,
+                           position_ids: Array, pk, pv, mask_id: int,
+                           drop_rng=None) -> Array:
+        """Teacher-forced SCST replay as ONE dual-block pass: rows
+        [w_0..w_{T-2} | m_1..m_{T-1}] attend to [prompt caches | those same
+        rows] under the decode visibility (w_t sees prompt + w_<=t; m_t
+        sees prompt + w_<t + itself), reproducing the incremental decoder's
+        probe hiddens without the per-step scan — no scan carry, no
+        per-step cache snapshots in the backward (the round-4 B>=512 SCST
+        memory wall), and the matmuls are MXU-shaped instead of S=2 rows.
+
+        With ``drop_rng`` the pass applies EXACTLY the masks the
+        explicit-dropout sampled rollout drew (see _scst_replay_drop), so
+        gradients match the rollout that produced the sample — the same
+        guarantee the scan replay provides, reference
+        run_img2txt_dist.py:505-523 semantics.
+
+        Returns [B, T-1, H] hiddens of probes m_1..m_{T-1} (m_0's hidden is
+        the prefill probe output, exactly as in the scan replay)."""
+        cfg = self.cfg
+        B, T = forced_ids.shape
+        assert T >= 2, "teacher-forced replay needs at least 2 tokens"
+        W = T - 1
+        R = 2 * W
+        P = cfg.prefix_len
+
+        ids = jnp.concatenate(
+            [forced_ids[:, :W],
+             jnp.full((B, W), mask_id, forced_ids.dtype)], axis=1)
+        seg = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(segment_ids, P, W, axis=1),
+             jax.lax.dynamic_slice_in_dim(segment_ids, P + 1, W, axis=1)],
+            axis=1)
+        pos = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(position_ids, P, W, axis=1),
+             jax.lax.dynamic_slice_in_dim(position_ids, P + 1, W, axis=1)],
+            axis=1)
+        x = self.embeddings(ids, seg, pos, None, None, deterministic=True)
+
+        emb_mask, layer_drop = (None, None)
+        if drop_rng is not None:
+            emb_mask, layer_drop = self._scst_replay_drop(drop_rng, B, T)
+            x = masked_dropout(x, emb_mask, cfg.hidden_dropout_prob)
+
+        # static dual-block visibility -> additive bias [R, P+R]
+        r = jnp.arange(R)[:, None]
+        c = jnp.arange(P + R)[None, :]
+        step = jnp.where(r < W, r, r - W)
+        is_m = r >= W
+        vis = ((c < P)
+               | ((c >= P) & (c < P + W) & (c - P <= step))
+               | (is_m & (c == P + W + step)))
+        bias = jnp.where(vis, 0.0, mask_ops.NEG_INF).astype(jnp.float32)
+
+        for i, layer in enumerate(self.layers):
+            drop = None if layer_drop is None else layer_drop(i)
+            x = layer.dual_block_attend(x, pk[i], pv[i], bias, drop)
+        return x[:, W:, :]

@@ -109,7 +109,9 @@ class SCSTTrainer:
 
     def __init__(self, model: VLPModel, cfg: VLPConfig, *, mask_id: int,
                  eos_id: int, pad_id: int = 0, max_tgt_length: int = 20,
-                 tx=None, mesh=None, remat: bool = False):
+                 tx=None, mesh=None, remat: bool = False,
+                 replay: str = "scan"):
+        assert replay in ("scan", "fused")
         self.cfg = cfg
         self.model = model
         self.eos_id = eos_id
@@ -121,6 +123,14 @@ class SCSTTrainer:
         # activations and OOMs HBM at B=256 on a 16G v5e (23.9G program);
         # with it the activations are recomputed per step
         self.remat = remat
+        # replay="fused": the policy gradient runs the teacher-forced
+        # dual-block pass (VLPModel.scst_replay_hidden) instead of the
+        # per-step scan — no scan carry (the B>=512 memory wall), MXU-shaped
+        # matmuls.  The sampled rollout then uses the explicit-dropout
+        # contract so the one-pass replay re-draws its exact masks.
+        self.replay = replay
+        if replay == "fused":
+            assert max_tgt_length >= 2, "fused replay needs T >= 2"
         self.dp = DecodeParams(mask_id=mask_id, eos_id=eos_id, pad_id=pad_id,
                                max_tgt_length=max_tgt_length)
         self.decoder = Decoder(model, cfg, self.dp)
@@ -222,13 +232,17 @@ class SCSTTrainer:
 
     def _run_both_rollouts(self, params, batch, rng):
         """Greedy baseline (eval mode) + sampled rollout (train mode, dropout
-        on) in ONE compiled program (run_img2txt_dist.py:494-507)."""
+        on) in ONE compiled program (run_img2txt_dist.py:494-507).  With
+        ``replay="fused"`` the sampled rollout draws its dropout masks via
+        the explicit-dropout contract (same distribution; keys the
+        dual-block replay can re-draw)."""
         greedy_ids, _ = self.decoder._run_greedy(params, batch,
                                                  jax.random.PRNGKey(0),
                                                  sample=False,
                                                  train_mode=False)
-        sample_ids, _ = self.decoder._run_greedy(params, batch, rng,
-                                                 sample=True, train_mode=True)
+        sample_ids, _ = self.decoder._run_greedy(
+            params, batch, rng, sample=True, train_mode=True,
+            explicit_dropout=(self.replay == "fused"))
         return greedy_ids, sample_ids
 
     def _run_grad_update(self, state, batch, gen_raw, gen_clean, reward,
@@ -290,11 +304,41 @@ class SCSTTrainer:
         (_, _), lp_rest = jax.lax.scan(body, (gk, gv), jnp.arange(self.T - 1))
         return jnp.concatenate([lp0[None], lp_rest], axis=0).T  # [B, T]
 
+    def _forced_logprobs_fused(self, params, batch, forced_ids,
+                               drop_rng=None):
+        """Log-probs of ``forced_ids`` via the teacher-forced dual-block
+        pass: prefill (identical apply + rngs as the rollout's, so its
+        dropout masks are bit-equal) + VLPModel.scst_replay_hidden (caption
+        rows in ONE attention pass, masks re-drawn from the explicit-dropout
+        rollout's keys) + one batched lm_logits.  Same function as the scan
+        replay, with no scan carry in the backward."""
+        dp = self.dp
+        kw = {}
+        if drop_rng is not None:
+            kw = dict(rngs={"dropout": jax.random.fold_in(drop_rng, 0)},
+                      deterministic=False)
+        hidden0, pk, pv = self.model.apply(
+            {"params": params}, batch["input_ids"], batch["segment_ids"],
+            batch["position_ids"], batch["vis_feats"], batch["vis_pe"],
+            dp.mask_id, method=VLPModel.prefill, **kw)
+        hid = self.model.apply(
+            {"params": params}, forced_ids, batch["segment_ids"],
+            batch["position_ids"], pk, pv, dp.mask_id, drop_rng,
+            method=VLPModel.scst_replay_hidden)
+        hidden = jnp.concatenate([hidden0, hid], axis=1)      # [B, T, H]
+        logits = self.model.apply({"params": params}, hidden,
+                                  batch["task_idx"],
+                                  method=VLPModel.lm_logits)  # [B, T, V]
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.take_along_axis(lp, forced_ids[..., None], axis=-1)[..., 0]
+
     def _pg_loss(self, params, batch, gen_raw, gen_clean, reward, drop_rng):
         # log-probs of the RAW rollout (what the sampling pass computed);
         # mask from the CLEANED sequence — reference rl_crit semantics, see
         # the module docstring
-        logprobs = self._forced_logprobs(params, batch, gen_raw, drop_rng)
+        replay = (self._forced_logprobs_fused if self.replay == "fused"
+                  else self._forced_logprobs)
+        logprobs = replay(params, batch, gen_raw, drop_rng)
         loss = losses_lib.scst_reward_loss(logprobs, gen_clean, reward)
         return loss, {"scst_loss": loss}
 
