@@ -651,9 +651,10 @@ class TestSCSTEquivalence:
     T = 5
     B = 3
 
+    @pytest.mark.parametrize("replay", ["scan", "fused"])
     def test_nstep_scst_curve_and_weights(self, ref_modeling,
                                           ref_optimization, ref_scst_utils,
-                                          rng, monkeypatch):
+                                          rng, monkeypatch, replay):
         import jax
         import jax.numpy as jnp
         import torch
@@ -708,7 +709,8 @@ class TestSCSTEquivalence:
                               step=jnp.zeros((), jnp.int32))
         trainer = scst_lib.SCSTTrainer(model, cfg, mask_id=MASK_ID,
                                        eos_id=EOS_ID, pad_id=0,
-                                       max_tgt_length=T, tx=tx)
+                                       max_tgt_length=T, tx=tx,
+                                       replay=replay)
 
         helper = TestDecoderParity()
         ids, seg, pos, mask, vf, vp, task = helper._decode_inputs(
@@ -769,7 +771,10 @@ class TestSCSTEquivalence:
 
             # --- ours: forced replay of the same raw ids -----------------
             if i == 0:
-                forced = trainer._forced_logprobs(
+                replay_fn = (trainer._forced_logprobs_fused
+                             if replay == "fused"
+                             else trainer._forced_logprobs)
+                forced = replay_fn(
                     state.params, batch, jnp.asarray(raw, jnp.int32))
                 np.testing.assert_allclose(
                     np.asarray(forced), sample_logprobs.detach().numpy(),
