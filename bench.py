@@ -207,12 +207,39 @@ def _bench_h2d(nbytes_target):
     return best
 
 
+def _probe_backend():
+    """The axon TPU tunnel can go down for hours, and jax backend init then
+    HANGS with no error (.claude/skills/verify/SKILL.md).  Probe device init
+    in a SUBPROCESS with a hard timeout before touching the backend in this
+    process; if the probe hangs or dies, force the CPU backend so the round
+    still produces an artifact (marked ``tpu_unavailable`` — the value is
+    then a 1-core CPU number, not comparable to the TPU headline).
+
+    Returns (backend_name, tpu_unavailable).
+    """
+    import subprocess
+    import sys
+    for _ in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, timeout=150, text=True)
+        except subprocess.TimeoutExpired:
+            continue
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1], False
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu", True
+
+
 def main():
     from vlp_tpu.config import VLPConfig
     from vlp_tpu.parallel import train_step as ts
     from __graft_entry__ import _example_batch
 
-    on_tpu = jax.default_backend() == "tpu"
+    backend, tpu_unavailable = _probe_backend()
+    on_tpu = backend == "tpu"
     cfg = VLPConfig(use_pallas_attention=on_tpu)
     model = ts.create_model(cfg)
     state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
@@ -251,6 +278,12 @@ def main():
         "unit": "samples/sec/chip",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC_PER_GPU, 2),
     }
+    if tpu_unavailable:
+        # backend init probe hung twice: the dev tunnel is in one of its
+        # hours-long outages.  This run's value is the 1-core CPU fallback;
+        # see BENCH_r03.json for the most recent real-chip measurement.
+        out["tpu_unavailable"] = True
+        out["fallback_backend"] = jax.default_backend()
 
     # ---- sustained end-to-end (real TrainLoader path) --------------------
     try:

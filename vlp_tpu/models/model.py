@@ -392,6 +392,10 @@ class TransformerLayer(nn.Module):
             # dual-block replay can re-draw them (see explicit_dropout)
             assert beam_bias is None, \
                 "explicit dropout is for sampled rollouts, not beam search"
+            # unlike the flax paths' _attn_seed/fold, these keys do NOT
+            # fold the model-axis index — SCST runs data-parallel only
+            assert cfg.tp_axis is None, \
+                "explicit dropout does not compose with shard_map TP"
             impl = (self._incremental_cols if cfg.pallas_decode
                     else self._incremental_bhpd)
             return impl(x, pk, pv, gk, gv, gen_len, deterministic=True,
