@@ -422,13 +422,15 @@ class TestShardMapGradAccum:
 
 
 class TestShardMapSCST:
-    def test_scst_step_matches_single_device(self, rng):
+    @pytest.mark.parametrize("replay", ["scan", "fused"])
+    def test_scst_step_matches_single_device(self, rng, replay):
         """Data-parallel SCST (rollouts + forced-replay policy gradient per
         shard, grads pmean'd — the reference's 4-GPU DDP SCST recipe,
         run_img2txt_dist.py:379-387 + :486-523) must reproduce, with dropout
         off: (a) the single-device greedy baseline exactly, and (b) the
         parameter update implied by the mean of per-shard policy
-        gradients."""
+        gradients.  Covers both replay implementations — ``fused`` is the
+        shipping default (see DESIGN.md round-4 SCST chapter)."""
         import optax
         from vlp_tpu import scst as scst_lib
         from tests.test_decode import decode_batch, tiny_cfg as dec_tiny
@@ -448,7 +450,7 @@ class TestShardMapSCST:
         gt[:, -1] = 4  # EOS
 
         kw = dict(mask_id=5, eos_id=4, pad_id=0,
-                  max_tgt_length=cfg.max_len_b)
+                  max_tgt_length=cfg.max_len_b, replay=replay)
         tr_mesh = scst_lib.SCSTTrainer(model, cfg, tx=tx, mesh=mesh, **kw)
         tr_single = scst_lib.SCSTTrainer(model, cfg, tx=tx, **kw)
 

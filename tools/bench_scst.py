@@ -85,8 +85,9 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the forced-replay scan body "
                          "(needed to fit B>=256 on a 16G chip)")
-    ap.add_argument("--replay", default="scan", choices=("scan", "fused"),
-                    help="policy-gradient replay implementation")
+    ap.add_argument("--replay", default="fused", choices=("scan", "fused"),
+                    help="policy-gradient replay implementation (fused is "
+                         "the CLI's shipping default)")
     ap.add_argument("--ab_replay", action="store_true",
                     help="interleave replay='fused' vs replay='scan' (same "
                          "rollout layout) in this one process")

@@ -128,13 +128,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "backward pass (jax.checkpoint): per-chip SCST "
                         "batches >=256 otherwise exceed a 16G chip's HBM "
                         "(scan replay only)")
-    p.add_argument("--scst_replay", default="scan",
+    p.add_argument("--scst_replay", default="fused",
                    choices=("scan", "fused"),
-                   help="policy-gradient replay: 'scan' = per-step "
-                        "differentiable decode (reference-shaped); 'fused' "
-                        "= one teacher-forced dual-block pass (no scan "
-                        "carry, MXU-shaped — same gradients, same dropout "
-                        "masks as the rollout)")
+                   help="policy-gradient replay: 'fused' (default) = one "
+                        "teacher-forced dual-block pass (no scan carry, "
+                        "MXU-shaped — same function as 'scan', same dropout "
+                        "masks as the rollout; A/B +32%% at B=64, 295.8 vs "
+                        "218.8 samples/sec at B=256, SCST_BENCH r04); "
+                        "'scan' = per-step differentiable decode "
+                        "(reference-shaped)")
     p.add_argument("--answer_vocab_file", default="", type=str)
     # TPU-specific
     p.add_argument("--synthetic_data", action="store_true",
