@@ -480,6 +480,148 @@ class TestTrainingEquivalence:
             np.testing.assert_array_equal(got[b, :n], ref_pred[b, :n], b)
 
 
+class TestVQA2TrainingEquivalence:
+    """N-step training equivalence for the ``--tasks vqa2`` branch against
+    the ACTUAL reference stack: the real ``BertForPreTrainingLossMask``
+    with ``tasks='vqa2'`` (BCE-with-logits x 3129 answer scaling, zeroed
+    masked-LM term, ``vqa2_embed = h[CLS] * h[SEP_after_img]`` —
+    modeling.py:1135-1141) + the real ``BertAdam``, vs vlp_tpu's jitted
+    vqa2 train step from the same converted init.  Loss curve pointwise
+    equal, final weights equal, and both trained models produce identical
+    argmax answer ids (the eval_vqa2 CLI's prediction path)."""
+
+    N_STEPS = 40
+    LR = 1e-4
+
+    def test_nstep_vqa2_curve_weights_answers(self, ref_modeling,
+                                              ref_optimization, rng):
+        import jax
+        import jax.numpy as jnp
+        import torch
+        from vlp_tpu import checkpoint as ckpt
+        from vlp_tpu.models.model import VLPModel
+        from vlp_tpu.ops.masks import visibility
+        from vlp_tpu.parallel import train_step as ts
+
+        N, B = self.N_STEPS, 4
+        cfg = _vlp_cfg().replace(relax_projection=0,
+                                 hidden_dropout_prob=0.0,
+                                 attention_probs_dropout_prob=0.0)
+        ref, model, params0 = _build_pair(ref_modeling, cfg, tasks="vqa2")
+        ref.train()
+
+        no_decay = ["bias", "LayerNorm.bias", "LayerNorm.weight"]
+        named = list(ref.named_parameters())
+        groups = [
+            {"params": [p for n, p in named
+                        if not any(nd in n for nd in no_decay)],
+             "weight_decay": 0.01},
+            {"params": [p for n, p in named
+                        if any(nd in n for nd in no_decay)],
+             "weight_decay": 0.0},
+        ]
+        ref_opt = ref_optimization.BertAdam(
+            groups, lr=self.LR, warmup=0.1, t_total=N,
+            schedule="warmup_linear")
+        tx = ts.make_optimizer(cfg, params0, lr=self.LR, warmup=0.1,
+                               t_total=N, schedule="warmup_linear",
+                               weight_decay=0.01)
+        state = ts.TrainState(params=params0, opt_state=tx.init(params0),
+                              step=jnp.zeros((), jnp.int32))
+        step_fn = jax.jit(ts.make_train_step(model, tx,
+                                             mask_image_regions=False,
+                                             task="vqa2"))
+
+        # fixture batches: bi mode (VQA), per-example soft answer labels
+        # with a multi-hot row (VQA2 scores are not one-hot in general)
+        raw = [_make_inputs(cfg, B, rng) for _ in range(5)]
+        batches = []
+        for x in raw:
+            x["mode"][:] = 0
+            x["task_idx"][:] = 0
+            ans = np.zeros((B, 3129), np.float32)
+            ans[np.arange(B), rng.integers(1, 3129, B)] = 1.0
+            ans[0, rng.integers(1, 3129)] = 0.6  # soft secondary answer
+            vis = np.asarray(visibility(
+                jnp.asarray(x["mode"]), jnp.asarray(x["text_end"]),
+                jnp.asarray(np.ones_like(x["vis_keep"])), cfg.prefix_len,
+                cfg.seq_len))
+            jb = dict(
+                input_ids=jnp.asarray(x["ids"], jnp.int32),
+                segment_ids=jnp.asarray(x["seg"], jnp.int32),
+                mode=jnp.asarray(x["mode"]),
+                text_end=jnp.asarray(x["text_end"]),
+                vis_keep=jnp.asarray(np.ones_like(x["vis_keep"])),
+                vis_masked_pos=jnp.asarray(x["vis_masked"], jnp.int32),
+                masked_pos=jnp.asarray(x["masked_pos"], jnp.int32),
+                masked_ids=jnp.asarray(x["masked_ids"], jnp.int32),
+                masked_weights=jnp.asarray(x["masked_weights"]),
+                task_idx=jnp.asarray(x["task_idx"], jnp.int32),
+                vis_feats=jnp.asarray(x["vis_feats"]),
+                vis_pe=jnp.asarray(x["vis_pe"]),
+                ans_scores=jnp.asarray(ans))
+            batches.append((x, vis, ans, jb))
+
+        losses_ref, losses_ours = [], []
+        key = jax.random.PRNGKey(0)
+        for i in range(N):
+            x, vis, ans, jb = batches[i % len(batches)]
+            mlm, pretext, vqa2 = ref(
+                torch.from_numpy(x["vis_feats"]),
+                torch.from_numpy(x["vis_pe"]),
+                torch.from_numpy(x["ids"]), torch.from_numpy(x["seg"]),
+                torch.from_numpy(vis.astype(np.float32)),
+                torch.from_numpy(x["masked_ids"]).long(),
+                torch.from_numpy(ans),
+                torch.full((B,), -1).long(),
+                masked_pos=torch.from_numpy(x["masked_pos"]).long(),
+                masked_weights=torch.from_numpy(x["masked_weights"]),
+                task_idx=torch.from_numpy(x["task_idx"]),
+                vis_masked_pos=torch.from_numpy(x["vis_masked"]).long(),
+                mask_image_regions=False, drop_worst_ratio=0)
+            loss = mlm + pretext + vqa2
+            loss.backward()
+            ref_opt.step()
+            ref_opt.zero_grad()
+            losses_ref.append(float(loss.detach()))
+
+            state, metrics = step_fn(state, jb, jax.random.fold_in(key, i),
+                                     0.0)
+            losses_ours.append(float(metrics["loss"]))
+
+        losses_ref = np.asarray(losses_ref)
+        losses_ours = np.asarray(losses_ours)
+        np.testing.assert_allclose(losses_ours, losses_ref,
+                                   rtol=1e-3, atol=1e-4)
+        # a real training signal: the BCE descends on revisited batches
+        assert losses_ref[-5:].mean() < losses_ref[:5].mean() - 1e-3
+
+        # final weights agree parameter-by-parameter
+        sd_final = {k: v.detach().numpy()
+                    for k, v in ref.state_dict().items()}
+        tpl = jax.tree_util.tree_map(np.asarray, state.params)
+        converted = ckpt.torch_to_params(dict(sd_final), cfg, tpl)
+        for (p1, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(converted),
+                jax.tree_util.tree_leaves_with_path(tpl)):
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-4,
+                                       err_msg=str(p1))
+
+        # both trained models answer identically (argmax over 3129)
+        x, vis, ans, jb = batches[0]
+        ref.eval()
+        with torch.no_grad():
+            ref_ans = ref(
+                torch.from_numpy(x["vis_feats"]),
+                torch.from_numpy(x["vis_pe"]),
+                torch.from_numpy(x["ids"]), torch.from_numpy(x["seg"]),
+                torch.from_numpy(vis.astype(np.float32)),
+                None, None, None, vqa_inference=True)
+        ours_ans = model.apply({"params": state.params}, jb,
+                               method=VLPModel.vqa_inference)
+        np.testing.assert_array_equal(np.asarray(ours_ans), ref_ans.numpy())
+
+
 class TestDecoderParity:
     """Token-for-token generation parity against the reference's actual
     BertForSeq2SeqDecoder (greedy + beam search)."""

@@ -84,7 +84,8 @@ def main():
     ap.add_argument("--no_artifact", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the forced-replay scan body "
-                         "(needed to fit B>=256 on a 16G chip)")
+                         "(needed to fit B>=256 on a 16G chip; no-op for "
+                         "--replay fused, which has no scan body)")
     ap.add_argument("--replay", default="fused", choices=("scan", "fused"),
                     help="policy-gradient replay implementation (fused is "
                          "the CLI's shipping default)")
@@ -92,6 +93,9 @@ def main():
                     help="interleave replay='fused' vs replay='scan' (same "
                          "rollout layout) in this one process")
     args = ap.parse_args()
+    if args.remat and args.replay == "fused" and not args.ab_replay:
+        print("note: --remat is a no-op with --replay fused "
+              "(no scan body to checkpoint)")
 
     import jax.numpy as jnp
     from vlp_tpu.config import VLPConfig

@@ -126,17 +126,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scst_remat", action="store_true",
                    help="rematerialise the SCST forced-replay scan in the "
                         "backward pass (jax.checkpoint): per-chip SCST "
-                        "batches >=256 otherwise exceed a 16G chip's HBM "
-                        "(scan replay only)")
+                        "batches >=256 otherwise exceed a 16G chip's HBM. "
+                        "Applies to --scst_replay scan only (the fused "
+                        "replay has no scan to checkpoint; the CLI warns "
+                        "and ignores it)")
     p.add_argument("--scst_replay", default="fused",
                    choices=("scan", "fused"),
                    help="policy-gradient replay: 'fused' (default) = one "
                         "teacher-forced dual-block pass (no scan carry, "
                         "MXU-shaped — same function as 'scan', same dropout "
-                        "masks as the rollout; A/B +32%% at B=64, 295.8 vs "
-                        "218.8 samples/sec at B=256, SCST_BENCH r04); "
-                        "'scan' = per-step differentiable decode "
-                        "(reference-shaped)")
+                        "masks as the rollout; measured A/B in "
+                        "SCST_BENCH.json); 'scan' = per-step differentiable "
+                        "decode (reference-shaped)")
     p.add_argument("--answer_vocab_file", default="", type=str)
     # TPU-specific
     p.add_argument("--synthetic_data", action="store_true",
@@ -554,6 +555,10 @@ def main(argv=None):
         # shard under shard_map, grads pmean'd — matching the reference's
         # 4-GPU DDP SCST recipe (run_img2txt_dist.py:379-387 + :486-523)
         from vlp_tpu.scst import SCSTTrainer
+        if args.scst_remat and args.scst_replay == "fused":
+            logger.warning(
+                "--scst_remat applies to --scst_replay scan only (the fused "
+                "replay has no scan body to checkpoint); ignoring it")
         sp = tokenizer.vocab
         scst_trainer = SCSTTrainer(
             model, cfg, mask_id=sp["[MASK]"], eos_id=sp["[SEP]"],
