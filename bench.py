@@ -56,6 +56,38 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_SEC_PER_GPU = 3.0e6 / (5 * 3600) / 8  # 20.83
 
+# bf16 MXU peak per chip, by device_kind prefix (for the MFU field)
+PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v4": 275e12,
+}
+
+
+def _train_flops_per_sample(cfg) -> float:
+    """Analytic FLOP model for one pretraining sample (fwd + bwd ~= 3x fwd,
+    2 FLOPs per MAC).  Encoder matmuls + attention scores/PV + MLM head on
+    max_pred positions (transform + tied vocab matmul) + the region/geometry
+    projections.  Elementwise/LN/softmax FLOPs are excluded (sub-1%), so the
+    MFU derived from this is slightly conservative."""
+    H, L = cfg.hidden_size, cfg.seq_len
+    I, V = cfg.intermediate_size, cfg.vocab_size
+    per_layer = 4 * L * H * H + 2 * L * I * H + 2 * L * L * H
+    enc = cfg.num_hidden_layers * per_layer
+    r = max(cfg.relax_projection, 1)
+    head = cfg.max_pred * (H * H * r + H * V)
+    vis = cfg.len_vis_input * (cfg.vis_feat_dim * cfg.vis_feat_dim
+                               + cfg.vis_feat_dim * H + cfg.vis_pe_dim * H)
+    return 3.0 * 2.0 * (enc + head + vis)
+
+
+def _peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in PEAK_BF16_FLOPS.items():
+        if kind.startswith(prefix):
+            return peak
+    return 0.0
+
 STORE_KEYS = 256
 STORE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".cache", "bench_feat_fp16_pe.vlps")
@@ -278,6 +310,11 @@ def main():
         "unit": "samples/sec/chip",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC_PER_GPU, 2),
     }
+    flops = _train_flops_per_sample(cfg)
+    out["train_flops_per_sample"] = round(flops / 1e9, 2)  # GFLOP
+    peak = _peak_flops() if on_tpu else 0.0
+    if peak:
+        out["mfu"] = round(sps * flops / peak, 3)
     if tpu_unavailable:
         # backend init probe hung twice: the dev tunnel is in one of its
         # hours-long outages.  This run's value is the 1-core CPU fallback;

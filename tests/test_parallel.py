@@ -500,6 +500,81 @@ class TestShardMapSCST:
             np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-6)
 
 
+class TestShardMapSCSTDropout:
+    def test_mesh_fused_replay_reproduces_sharded_rollout_logprobs(self,
+                                                                   rng):
+        """Dropout ON under shard_map: each shard's fused forced replay
+        must reproduce its OWN explicit-dropout rollout's log-probs.  This
+        pins the per-shard key derivation the sharded grad step relies on
+        (scst.py: rollout body folds the data-axis index into the rng,
+        replay body folds identically then takes split(.)[1]) — the
+        single-device equivalence (test_pipeline.py) does not exercise the
+        fold_in-by-shard leg.  On CPU the rollout rides the XLA
+        explicit-dropout path; the TPU kernel twin is
+        tests/test_tpu_dropout.py."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from vlp_tpu import scst as scst_lib
+        from tests.test_decode import decode_batch, tiny_cfg as dec_tiny
+
+        cfg = dec_tiny()  # dropout 0.1 (config defaults)
+        assert cfg.hidden_dropout_prob > 0
+        model = ts.create_model(cfg)
+        state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                          lr=1e-3, warmup=0.1, t_total=-1)
+        mesh = mesh_lib.make_mesh(data=8, model=1)
+        B = 8
+        batch = decode_batch(cfg, B, rng)
+        tr = scst_lib.SCSTTrainer(model, cfg, mask_id=5, eos_id=4, pad_id=0,
+                                  max_tgt_length=cfg.max_len_b,
+                                  replay="fused")
+        rep = P()
+        dspec = jax.tree_util.tree_map(
+            lambda x: P("data", *([None] * (x.ndim - 1))), batch)
+        pspec = jax.tree_util.tree_map(lambda _: rep, state.params)
+
+        def roll_body(params, batch, key):
+            r = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            return tr.decoder._run_greedy(params, batch, r, sample=True,
+                                          train_mode=True,
+                                          explicit_dropout=True)
+
+        def replay_body(params, batch, raw, key):
+            # the sharded grad step's exact derivation
+            # (scst._make_sharded_grad_update.body)
+            r = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            _, drop_rng = jax.random.split(r)
+            return tr._forced_logprobs_fused(params, batch, raw, drop_rng)
+
+        key = jax.random.PRNGKey(21)
+        st_m, b_m = tr.shard_inputs(state, batch)
+        ids, lps = jax.jit(shard_map(
+            roll_body, mesh=mesh, in_specs=(pspec, dspec, rep),
+            out_specs=(P("data"), P("data")), check_vma=False))(
+                st_m.params, b_m, key)
+        forced = jax.jit(shard_map(
+            replay_body, mesh=mesh,
+            in_specs=(pspec, dspec, P("data"), rep),
+            out_specs=P("data"), check_vma=False))(
+                st_m.params, b_m, ids, key)
+        np.testing.assert_allclose(np.asarray(forced), np.asarray(lps),
+                                   rtol=1e-5, atol=1e-6)
+
+        # the shard fold is load-bearing: an UNFOLDED rollout (same key on
+        # every shard -> same dropout streams) must differ on shards > 0
+        def roll_nofold(params, batch, key):
+            return tr.decoder._run_greedy(params, batch, key, sample=True,
+                                          train_mode=True,
+                                          explicit_dropout=True)
+
+        _, lps_nf = jax.jit(shard_map(
+            roll_nofold, mesh=mesh, in_specs=(pspec, dspec, rep),
+            out_specs=(P("data"), P("data")), check_vma=False))(
+                st_m.params, b_m, key)
+        assert np.abs(np.asarray(lps_nf)[1:] - np.asarray(lps)[1:]).max() \
+            > 1e-6
+
+
 class TestStackBatches:
     def test_out_buffer_reuse(self, setup, rng):
         cfg, model, state, tx = setup

@@ -46,12 +46,40 @@ OUT_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "INFER_BENCH.json")
 
 
-def _window_stats(per_window):
+def _window_stats(per_window, converge=0.10):
+    best = max(per_window)
+    steady = [x for x in per_window if x >= best * (1 - converge)]
     return {
-        "best": round(max(per_window), 1),
+        "best": round(best, 1),
         "median": round(statistics.median(per_window), 1),
         "windows": [round(x, 1) for x in per_window],
+        # steady-state view (round-5 hygiene): windows within `converge` of
+        # best — the reproducible number.  `stable` asserts at least three
+        # such windows, i.e. the best was sustained, not a lucky burst.
+        "steady_median": round(statistics.median(steady), 1),
+        "steady_windows": len(steady),
+        "stable": len(steady) >= 3,
     }
+
+
+def _run_windows(run_window, windows, converge=0.10):
+    """Steady-state discipline: ONE untimed warmup window (post-compile
+    remote-runtime warmup made the r04 greedy windows span 206.9->1460.4,
+    a 7x spread under best-of reporting), then timed windows until the
+    three fastest agree within ``converge``, capped at 3x the requested
+    count.  Returns every timed window; _window_stats summarises."""
+    run_window()  # warmup: first post-compile window is burst-prone
+    rates = []
+    cap = 3 * windows
+    while True:
+        rates.append(run_window())
+        if len(rates) >= windows:
+            top = sorted(rates, reverse=True)[:3]
+            if len(top) >= 3 and (top[0] - top[2]) / top[0] <= converge:
+                break
+            if len(rates) >= cap:
+                break
+    return rates
 
 
 def measure_decode(batch_size=100, beam=5, max_tgt=20, outer=3, windows=5):
@@ -65,8 +93,8 @@ def measure_decode(batch_size=100, beam=5, max_tgt=20, outer=3, windows=5):
                                                   True)
     dec.beam_search(params, fresh_features(cfg, batch, -1))  # compile
     batches = [fresh_features(cfg, batch, i) for i in range(outer)]
-    per_window = []
-    for _ in range(windows):
+
+    def run_window():
         t0 = time.perf_counter()
         pending = None
         for b in batches:
@@ -75,8 +103,9 @@ def measure_decode(batch_size=100, beam=5, max_tgt=20, outer=3, windows=5):
                 dec.beam_collect(pending)
             pending = handle
         dec.beam_collect(pending)
-        per_window.append(batch_size * outer / (time.perf_counter() - t0))
-    return _window_stats(per_window)
+        return batch_size * outer / (time.perf_counter() - t0)
+
+    return _window_stats(_run_windows(run_window, windows))
 
 
 def measure_greedy(batch_size=100, max_tgt=20, outer=3, windows=5):
@@ -88,8 +117,8 @@ def measure_greedy(batch_size=100, max_tgt=20, outer=3, windows=5):
                                                   False)
     dec.greedy(params, fresh_features(cfg, batch, -1))  # compile
     batches = [fresh_features(cfg, batch, i) for i in range(outer)]
-    per_window = []
-    for _ in range(windows):
+
+    def run_window():
         t0 = time.perf_counter()
         pending = None
         for b in batches:
@@ -98,8 +127,9 @@ def measure_greedy(batch_size=100, max_tgt=20, outer=3, windows=5):
                 np.asarray(pending)  # materialise previous (depth-1)
             pending = ids
         np.asarray(pending)
-        per_window.append(batch_size * outer / (time.perf_counter() - t0))
-    return _window_stats(per_window)
+        return batch_size * outer / (time.perf_counter() - t0)
+
+    return _window_stats(_run_windows(run_window, windows))
 
 
 def measure_vqa(batch_size=256, outer=5, windows=5):
@@ -143,21 +173,24 @@ def measure_vqa(batch_size=256, outer=5, windows=5):
         return b
 
     int(np.asarray(infer(params, fresh(0)))[0])  # compile + force
-    per_window = []
-    for w in range(windows):
+    wct = [0]
+
+    def run_window():
         # depth-1 pipelined dispatch/collect, matching the VQA eval CLI's
         # steady-state loop (cli/eval_vqa2.py trails the fetch one batch
         # behind the dispatch); measured 3143 -> 4412 q/s vs serialized
+        wct[0] += 1
         t0 = time.perf_counter()
         pending = None
         for i in range(1, outer + 1):
-            h = infer(params, fresh(w * outer + i))
+            h = infer(params, fresh(wct[0] * outer + i))
             if pending is not None:
                 int(np.asarray(pending)[0])
             pending = h
         int(np.asarray(pending)[0])
-        per_window.append(B * outer / (time.perf_counter() - t0))
-    return _window_stats(per_window)
+        return B * outer / (time.perf_counter() - t0)
+
+    return _window_stats(_run_windows(run_window, windows))
 
 
 def main():
@@ -189,23 +222,23 @@ def main():
         "label": args.label,
         "backend": jax.default_backend(),
         "time": time.strftime("%Y-%m-%d %H:%M:%S"),
-        "methodology": f"best of {args.windows} windows x {args.outer} "
-                       "batches (see module docstring)",
-        "beam5_b100_captions_per_sec": dec["best"],
-        "beam5_b100_median": dec["median"],
-        "beam5_b100_windows": dec["windows"],
-        "vqa_b256_questions_per_sec": vqa["best"],
-        "vqa_b256_median": vqa["median"],
-        "vqa_b256_windows": vqa["windows"],
+        "methodology": (f"warmup window + >= {args.windows} windows x "
+                        f"{args.outer} batches, extended until the 3 "
+                        "fastest agree within 10% (see _run_windows)"),
     }
+
+    def put(prefix, st):
+        rec[f"{prefix}"] = st["best"]
+        for k in ("median", "windows", "steady_median", "steady_windows",
+                  "stable"):
+            rec[f"{prefix.rsplit('_', 2)[0]}_{k}"] = st[k]
+
+    put("beam5_b100_captions_per_sec", dec)
+    put("vqa_b256_questions_per_sec", vqa)
     for b, st in serving.items():
-        rec[f"beam5_b{b}_captions_per_sec"] = st["best"]
-        rec[f"beam5_b{b}_median"] = st["median"]
-        rec[f"beam5_b{b}_windows"] = st["windows"]
+        put(f"beam5_b{b}_captions_per_sec", st)
     if greedy is not None:
-        rec["greedy_b100_captions_per_sec"] = greedy["best"]
-        rec["greedy_b100_median"] = greedy["median"]
-        rec["greedy_b100_windows"] = greedy["windows"]
+        put("greedy_b100_captions_per_sec", greedy)
     hist = []
     if os.path.exists(OUT_PATH):
         with open(OUT_PATH) as f:

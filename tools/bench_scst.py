@@ -92,6 +92,11 @@ def main():
     ap.add_argument("--ab_replay", action="store_true",
                     help="interleave replay='fused' vs replay='scan' (same "
                          "rollout layout) in this one process")
+    ap.add_argument("--ab_dropout", action="store_true",
+                    help="interleave the fused-kernel on-chip-PRNG rollout "
+                         "dropout (decode_dropout_impl=auto) vs the "
+                         "column-layout XLA dropout math (=xla), both with "
+                         "the fused replay, in this one process")
     args = ap.parse_args()
     if args.remat and args.replay == "fused" and not args.ab_replay:
         print("note: --remat is a no-op with --replay fused "
@@ -116,6 +121,10 @@ def main():
     if args.ab_replay:
         variants = [("kernel_layout", cfg, "fused"),
                     ("scan_replay", cfg, "scan")]
+    elif args.ab_dropout:
+        variants = [("kernel_dropout", cfg, "fused"),
+                    ("xla_dropout",
+                     cfg.replace(decode_dropout_impl="xla"), "fused")]
     else:
         variants = [("kernel_layout", cfg, args.replay)]
         if args.ab:
@@ -156,8 +165,9 @@ def main():
         print(f"{name}: best {best:.1f} median {med:.1f} samples/sec/chip "
               f"({best / BASELINE_SCST_SPS_PER_GPU:.1f}x the per-GPU "
               f"baseline) windows={[round(r, 1) for r in rates]}")
+    head = variants[0][0]
     entry["vs_baseline"] = round(
-        max(results["kernel_layout"]) / BASELINE_SCST_SPS_PER_GPU, 1)
+        max(results[head]) / BASELINE_SCST_SPS_PER_GPU, 1)
 
     if not args.no_artifact:
         hist = []

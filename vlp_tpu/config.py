@@ -62,6 +62,12 @@ class VLPConfig:
     # When active, KV caches are carried in the kernel layout; dropout-
     # active rollouts (SCST sampling) transpose into the XLA path.
     use_pallas_decode: "bool | None" = None
+    # Attention-prob dropout impl for SCST sampled rollouts on the kernel
+    # path: "auto" = fused decode kernel with on-chip PRNG when on real TPU
+    # (falls back to the column-layout XLA math off-TPU, where pltpu.prng
+    # has no lowering); "xla" = always the XLA math (A/B benchmarking /
+    # bit-exact CPU<->TPU rollout comparison).
+    decode_dropout_impl: str = "auto"
     fuse_qkv_proj: bool = False          # one runtime-concatenated QKV matmul
                                          # (param tree unchanged).  Measured
                                          # SLOWER on v5e (1310 vs 1340

@@ -74,6 +74,16 @@ def explicit_dropout(x: Array, key, rate: float) -> Array:
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+def kernel_decode_dropout(cfg: VLPConfig) -> bool:
+    """True when SCST sampled rollouts apply attention-prob dropout inside
+    the fused decode kernel (on-chip PRNG).  The rollout
+    (TransformerLayer.incremental_split) and the replay mask regeneration
+    (VLPModel._scst_replay_drop) MUST evaluate this identically — both call
+    this one predicate, which is trace-time constant within a process."""
+    return (cfg.pallas_decode and cfg.decode_dropout_impl != "xla"
+            and decode_attn_ops.kernel_dropout_available())
+
+
 def masked_dropout(x: Array, mask: Array, rate: float) -> Array:
     """Apply a PRE-DRAWN keep mask with flax Dropout's scaling — the replay
     side of the explicit-dropout contract (masks assembled by
@@ -396,6 +406,27 @@ class TransformerLayer(nn.Module):
             # fold the model-axis index — SCST runs data-parallel only
             assert cfg.tp_axis is None, \
                 "explicit dropout does not compose with shard_map TP"
+            rate = cfg.attention_probs_dropout_prob
+            if (cfg.pallas_decode and rate > 0.0
+                    and kernel_decode_dropout(cfg)):
+                # fused kernel with on-chip PRNG dropout: seeds derived
+                # from the same site key the XLA path folds (fold 0); the
+                # dual-block replay regenerates the kernel's exact bits
+                # (decode_attn_ops.decode_dropout_scales)
+                B = pk.shape[0]
+                assert x.shape[0] == B, "sampled rollouts have K == 1"
+                seeds = decode_attn_ops.dropout_seeds(
+                    jax.random.fold_in(dropout_key, 0), B)
+                q = self.q_proj(x)
+                k = self.k_proj(x)
+                v = self.v_proj(x)
+                ctx, gk, gv = decode_attn_ops.decode_attention(
+                    q, k, v, pk, pv, gk, gv, gen_len,
+                    n_heads=cfg.num_attention_heads, drop_seed=seeds,
+                    drop_rate=rate)
+                out = self._post_attention(ctx, x, deterministic=True,
+                                           dropout_key=dropout_key)
+                return out, gk, gv
             impl = (self._incremental_cols if cfg.pallas_decode
                     else self._incremental_bhpd)
             return impl(x, pk, pv, gk, gv, gen_len, deterministic=True,
@@ -601,8 +632,14 @@ class TransformerLayer(nn.Module):
         scores = jnp.concatenate([sp, sg], axis=-1) + bias[None, None]
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         if drop is not None:
-            probs = masked_dropout(probs, drop["probs"],
-                                   cfg.attention_probs_dropout_prob)
+            if "probs_scale" in drop:
+                # kernel-dropout rollout: pre-computed 0-or-1/keep
+                # multipliers (regenerated on-chip bits), applied exactly
+                # as the kernel does — a multiply, not a where/divide
+                probs = probs * drop["probs_scale"]
+            else:
+                probs = masked_dropout(probs, drop["probs"],
+                                       cfg.attention_probs_dropout_prob)
         probs = probs.astype(x.dtype)
         ctx = jnp.einsum("bhrj,bjhd->brhd", probs[..., :P], pv4,
                          preferred_element_type=jnp.float32)
@@ -971,19 +1008,36 @@ class VLPModel(nn.Module):
         col_src = jnp.concatenate([jnp.arange(P + W),
                                    P + 1 + jnp.arange(W)])
 
+        use_kernel = (cfg.attention_probs_dropout_prob > 0.0
+                      and kernel_decode_dropout(cfg))
+
         def layer_drop(layer_idx: int):
             base = jax.vmap(lambda k: jax.random.fold_in(
                 k, 1 + layer_idx))(keys_t)
-            pdraw = jax.vmap(lambda k: jax.random.bernoulli(
-                jax.random.fold_in(k, 0), keep_p,
-                (B, 1, Hh, 2, P + G)))(base)[:, :, 0]   # [W,B,Hh,2,P+G]
+            if use_kernel:
+                # the rollout rode the fused kernel: regenerate its on-chip
+                # PRNG keep/scale draws (exact bits — same seeds, same draw
+                # sequence) and hand the replay the MULTIPLIERS, matching
+                # the kernel's probs * scale application order
+                seeds = jax.vmap(lambda k: decode_attn_ops.dropout_seeds(
+                    jax.random.fold_in(k, 0), B))(base)      # [W, B]
+                scales = decode_attn_ops.decode_dropout_scales(
+                    seeds.reshape(-1), n_heads=Hh, S=2, P=P, G=G,
+                    rate=cfg.attention_probs_dropout_prob)
+                pdraw = scales.reshape(W, B, Hh, 2, P + G)
+                key_name = "probs_scale"
+            else:
+                pdraw = jax.vmap(lambda k: jax.random.bernoulli(
+                    jax.random.fold_in(k, 0), keep_p,
+                    (B, 1, Hh, 2, P + G)))(base)[:, :, 0]   # [W,B,Hh,2,P+G]
+                key_name = "probs"
             sel = pdraw[row_step, :, :, row_s]          # [R, B, Hh, P+G]
             probs = jnp.take(sel, col_src, axis=-1).transpose(1, 2, 0, 3)
             mh = rows2(draw2(jax.vmap(
                 lambda k: jax.random.fold_in(k, 1))(base)))
             mf = rows2(draw2(jax.vmap(
                 lambda k: jax.random.fold_in(k, 2))(base)))
-            return {"probs": probs, "hidden": (mh, mf)}
+            return {key_name: probs, "hidden": (mh, mf)}
 
         return emb_mask, layer_drop
 
