@@ -595,6 +595,42 @@ class TestMeteor:
         assert lo <= score <= hi
         assert lo < score  # adversarial extra matches found
 
+    def test_function_word_sensitivity_bounded(self):
+        """Round-5: the function.words approximation is BOUNDED, not just
+        documented — the interval is the envelope over candidate lists, so
+        the score computed under EITHER list lies inside it, and
+        disagreeing lists genuinely widen it (adversarial case: matched
+        content words 'man'/'barn' reclassified as function words)."""
+        from vlp_tpu.evals.meteor import (FUNCTION_WORDS, meteor_bounds,
+                                          pair_stats, score_from_stats)
+        gts = {0: ["a man rides a horse near a barn"]}
+        res = {0: ["a man walks quickly near a barn"]}
+        fw2 = frozenset(FUNCTION_WORDS | {"man", "barn"})
+        hyp, ref = res[0][0].split(), gts[0][0].split()
+        s1 = score_from_stats(pair_stats(hyp, ref))
+        s2 = score_from_stats(pair_stats(hyp, ref, fwords=fw2))
+        assert s1 != pytest.approx(s2)  # the lists genuinely disagree
+        lo, hi = meteor_bounds(gts, res, fword_lists=(FUNCTION_WORDS, fw2))
+        lo1, hi1 = meteor_bounds(gts, res, fword_lists=(FUNCTION_WORDS,))
+        lo2, hi2 = meteor_bounds(gts, res, fword_lists=(fw2,))
+        assert lo == pytest.approx(min(lo1, lo2))
+        assert hi == pytest.approx(max(hi1, hi2))
+        assert lo <= min(s1, s2) + 1e-9 and hi + 1e-9 >= max(s1, s2)
+        # default interval (closed-class + in-corpus derived list) still
+        # brackets the native score
+        lo_d, hi_d = meteor_bounds(gts, res)
+        assert lo_d <= s1 + 1e-9 <= hi_d + 1e-9
+
+    def test_corpus_function_words_jar_rule(self):
+        """corpus_function_words implements the jar's own construction:
+        relative frequency > 1e-3."""
+        from vlp_tpu.evals.meteor import corpus_function_words
+        texts = ["the man"] * 600 + ["xylophone zebra"]
+        fw = corpus_function_words(texts)  # 1202 tokens
+        assert "the" in fw and "man" in fw
+        assert "xylophone" not in fw  # 1/1202 < 1e-3
+        assert corpus_function_words([]) is not None  # empty-corpus guard
+
     def test_beam_aligner_distance_tiebreak(self):
         """Adversarial case where the old greedy per-stage matcher and the
         jar's beam search differ: hyp [runs, run] vs ref [run].  Greedy's

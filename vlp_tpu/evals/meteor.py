@@ -39,8 +39,13 @@ With the algorithm identical, the only divergence from the jar is DATA:
     choose given those extra edges (derivation in ``_bound_stats``; no
     assumption that the jar keeps this module's matched pairs);
   * the jar's ``function.words`` list (corpus tokens with relative
-    frequency above 1e-3) is approximated by the closed-class list below —
-    documented, not bounded (it shifts tokens between the delta weights).
+    frequency above 1e-3) is approximated by the closed-class list below;
+    ``meteor_bounds`` BOUNDS this approximation (round 5) by evaluating
+    the per-segment interval under BOTH the closed-class list and a
+    corpus-frequency-derived list built with the jar's own rule
+    (``corpus_function_words``) and taking the envelope — the reported
+    [METEOR_lb, METEOR_ub] therefore brackets the matcher data AND the
+    function-word sensitivity.
 """
 
 from __future__ import annotations
@@ -85,10 +90,28 @@ s t d ll m re ve y
 """.split())
 
 
-def classify(tok: str) -> bool:
+def classify(tok: str, fwords: frozenset = FUNCTION_WORDS) -> bool:
     """True when ``tok`` is a function word (jar semantics: list lookup on
     the normalised lowercase token)."""
-    return tok.lower() in FUNCTION_WORDS
+    return tok.lower() in fwords
+
+
+def corpus_function_words(texts, threshold: float = 1e-3) -> frozenset:
+    """Derive a function-word list with the JAR'S OWN RULE: tokens whose
+    relative frequency in a corpus exceeds ``threshold`` (Meteor 1.5 builds
+    function.words this way from a large English corpus).  Applied to the
+    evaluation corpus itself this yields the in-domain frequency list;
+    ``meteor_bounds`` evaluates under both this and the closed-class
+    approximation and reports the envelope."""
+    freq: Dict[str, int] = {}
+    n = 0
+    for t in texts:
+        for w in t.lower().split():
+            freq[w] = freq.get(w, 0) + 1
+            n += 1
+    if n == 0:
+        return FUNCTION_WORDS
+    return frozenset(w for w, c in freq.items() if c / n > threshold)
 
 
 def wordnet_synonyms() -> Optional[SynonymFn]:
@@ -225,21 +248,24 @@ def score_from_stats(s: PairStats) -> float:
     return (1 - pen) * f
 
 
-def _weighted_den(toks: List[str]) -> float:
-    nf = sum(1 for t in toks if classify(t))
+def _weighted_den(toks: List[str],
+                  fwords: frozenset = FUNCTION_WORDS) -> float:
+    nf = sum(1 for t in toks if classify(t, fwords))
     return DELTA * (len(toks) - nf) + (1 - DELTA) * nf
 
 
 def pair_stats(hyp: List[str], ref: List[str],
-               synonyms: Optional[SynonymFn] = None) -> PairStats:
+               synonyms: Optional[SynonymFn] = None,
+               fwords: frozenset = FUNCTION_WORDS) -> PairStats:
     triples = _align(hyp, ref, synonyms)
     mass_h = mass_r = 0.0
     for i, j, sidx in triples:
         w = STAGE_WEIGHTS[sidx]
-        mass_h += w * ((1 - DELTA) if classify(hyp[i]) else DELTA)
-        mass_r += w * ((1 - DELTA) if classify(ref[j]) else DELTA)
+        mass_h += w * ((1 - DELTA) if classify(hyp[i], fwords) else DELTA)
+        mass_r += w * ((1 - DELTA) if classify(ref[j], fwords) else DELTA)
     return PairStats(mass_h=mass_h, mass_r=mass_r,
-                     den_h=_weighted_den(hyp), den_r=_weighted_den(ref),
+                     den_h=_weighted_den(hyp, fwords),
+                     den_r=_weighted_den(ref, fwords),
                      m=float(len(triples)),
                      ch=float(_chunks([(i, j) for i, j, _ in triples])))
 
@@ -253,7 +279,8 @@ def meteor_pair(hyp: List[str], ref: List[str],
 
 
 def _bound_stats(hyp: List[str], ref: List[str],
-                 synonyms: Optional[SynonymFn] = None
+                 synonyms: Optional[SynonymFn] = None,
+                 fwords: frozenset = FUNCTION_WORDS
                  ) -> Tuple[PairStats, PairStats, PairStats]:
     """(ours, upper-stats, lower-stats) for one pair.
 
@@ -288,7 +315,7 @@ def _bound_stats(hyp: List[str], ref: List[str],
     jar's: 40) exhaust the caption-scale state space; only the missing
     matcher DATA (paraphrase table; WordNet when absent) is bracketed."""
     triples = _align(hyp, ref, synonyms)
-    ours = pair_stats(hyp, ref, synonyms)
+    ours = pair_stats(hyp, ref, synonyms, fwords)
     mat = _match_stages(hyp, ref, synonyms)
     matched_h = {i for i, _, _ in triples}
     matched_r = {j for _, j, _ in triples}
@@ -302,7 +329,8 @@ def _bound_stats(hyp: List[str], ref: List[str],
         for (i, j), s in mat.items():
             t = i if side == 0 else j
             best_impl[t] = max(best_impl[t], STAGE_WEIGHTS[s])
-        caps = [max(w, w_extra) * ((1 - DELTA) if classify(t) else DELTA)
+        caps = [max(w, w_extra)
+                * ((1 - DELTA) if classify(t, fwords) else DELTA)
                 for w, t in zip(best_impl, toks)]
         return sum(sorted(caps, reverse=True)[:m + k])
 
@@ -319,7 +347,8 @@ def _bound_stats(hyp: List[str], ref: List[str],
         return ours, ub, ours
 
     def min_mass(toks, mm):
-        w = sorted(((1 - DELTA) if classify(t) else DELTA) for t in toks)
+        w = sorted(((1 - DELTA) if classify(t, fwords) else DELTA)
+                   for t in toks)
         return W_PARA * sum(w[:mm])
 
     lb_best, lb_score = ours, float("inf")
@@ -359,27 +388,17 @@ def compute_meteor(gts: Dict, res: Dict,
     return score_from_stats(total), seg_scores
 
 
-def meteor_bounds(gts: Dict, res: Dict,
-                  synonyms: Optional[SynonymFn] = None
-                  ) -> Tuple[float, float]:
-    """(lower, upper) corpus interval for the Meteor-1.5 jar's system
-    score, bracketing the matcher DATA that cannot run air-gapped
-    (paraphrase table always; WordNet synonyms when the corpus is absent).
-    Per segment the bounds are assumption-free over every alignment the
-    jar's comparator could choose (see ``_bound_stats``); across segments
-    each bound aggregates the reference selected by its own score (the
-    jar's best-reference rule applied to the bound stats — the formula on
-    summed stats is not monotone in the per-segment choice, so the corpus
-    interval inherits that standard aggregation rather than a proof;
-    ``coco.language_eval`` additionally clamps the interval around the
-    native score)."""
+def _meteor_bounds_one_list(gts: Dict, res: Dict,
+                            synonyms: Optional[SynonymFn],
+                            fwords: frozenset) -> Tuple[float, float]:
     tot_lb, tot_ub = PairStats(), PairStats()
     for key in res:
         hyp = res[key][0].lower().split()
         best_ub = best_lb = None
         best_ub_s = best_lb_s = -1.0
         for r in gts[key]:
-            _, ub, lb = _bound_stats(hyp, r.lower().split(), synonyms)
+            _, ub, lb = _bound_stats(hyp, r.lower().split(), synonyms,
+                                     fwords)
             su, sl = score_from_stats(ub), score_from_stats(lb)
             if best_ub is None or su > best_ub_s:
                 best_ub, best_ub_s = ub, su
@@ -390,6 +409,41 @@ def meteor_bounds(gts: Dict, res: Dict,
     lower = score_from_stats(tot_lb)
     upper = score_from_stats(tot_ub)
     return min(lower, upper), max(lower, upper)
+
+
+def meteor_bounds(gts: Dict, res: Dict,
+                  synonyms: Optional[SynonymFn] = None,
+                  fword_lists=None) -> Tuple[float, float]:
+    """(lower, upper) corpus interval for the Meteor-1.5 jar's system
+    score, bracketing the two data files that cannot ship air-gapped:
+
+      * matcher DATA (paraphrase table always; WordNet synonyms when the
+        corpus is absent) — per segment the bounds are assumption-free over
+        every alignment the jar's comparator could choose (_bound_stats);
+      * the ``function.words`` list — the interval is the ENVELOPE over
+        candidate lists: the closed-class approximation AND a list derived
+        from the evaluation corpus itself with the jar's own frequency
+        rule (``corpus_function_words``; pass ``fword_lists`` to add
+        others, e.g. one derived from a larger external text).  Shifting a
+        token between lists moves delta-weight mass only; evaluating both
+        lists brackets that sensitivity instead of assuming one list.
+
+    Across segments each bound aggregates the reference selected by its
+    own score (the jar's best-reference rule applied to the bound stats —
+    the formula on summed stats is not monotone in the per-segment choice,
+    so the corpus interval inherits that standard aggregation rather than
+    a proof; ``coco.language_eval`` additionally clamps the interval
+    around the native score)."""
+    if fword_lists is None:
+        corpus_texts = [t for refs in gts.values() for t in refs]
+        corpus_texts += [t for hyps in res.values() for t in hyps]
+        fword_lists = (FUNCTION_WORDS, corpus_function_words(corpus_texts))
+    los, his = [], []
+    for fw in fword_lists:
+        lo, hi = _meteor_bounds_one_list(gts, res, synonyms, fw)
+        los.append(lo)
+        his.append(hi)
+    return min(los), max(his)
 
 
 # ---------------------------------------------------------------------------
