@@ -461,19 +461,23 @@ class TestSpiceExternalGolden:
     def test_external_pr_floor(self):
         from tests.spice_golden import EXTERNAL_GOLDEN
         p, r = self._pr(EXTERNAL_GOLDEN)
-        # measured 0.909/0.833 (r04).  The residue is a CONVENTION delta,
-        # not a parse error: this parser merges participle+preposition
-        # chains into one relation ("girl, stand on top of, court") where
-        # the paper splits (girl, standing) + (girl, on-top-of, court)
-        assert p >= 0.85, f"external parse precision {p:.3f} regressed"
-        assert r >= 0.80, f"external parse recall {r:.3f} regressed"
+        # measured 1.0/1.0 (r05): the r04 residue was the participle+MWE-
+        # preposition convention ("girl, stand on top of, court" merged vs
+        # the paper's (girl, standing) + (girl, on-top-of, court) split);
+        # the parser now follows the paper's convention
+        assert p >= 0.99, f"external parse precision {p:.3f} regressed"
+        assert r >= 0.99, f"external parse recall {r:.3f} regressed"
 
     def test_mixed_source_pr_floor(self):
         from tests.spice_golden import EXTERNAL_GOLDEN, GOLDEN
         p, r = self._pr(GOLDEN + EXTERNAL_GOLDEN)
-        # measured 0.968/0.960 (r04) over 25 self-authored + 2 external
-        assert p >= 0.93, f"mixed parse precision {p:.3f} regressed"
-        assert r >= 0.93, f"mixed parse recall {r:.3f} regressed"
+        # measured 1.0/1.0 (r05; was 0.968/0.960 in r04) over 25
+        # self-authored + 2 external entries — the r05 attachment lifting
+        # (participle chains and bare prepositions attach to the clause
+        # subject / of-chain head per the Stanford conventions) closed the
+        # remaining three attachment misses
+        assert p >= 0.99, f"mixed parse precision {p:.3f} regressed"
+        assert r >= 0.99, f"mixed parse recall {r:.3f} regressed"
 
     def test_spice_paper_candidate_parses_exactly(self):
         """The paper's candidate caption must parse to its published tuple

@@ -53,6 +53,18 @@ two three four five six seven eight nine ten eleven twelve
 _MWE_PREP = {"top": ("of",), "front": ("of",), "next": ("to",),
              "side": ("of",)}
 
+
+def _is_mwe_prep(toks) -> bool:
+    """True when ``toks`` is exactly a multiword preposition chain the
+    Stanford pipeline case-marks as a unit: [prep, mwe, of/to] ("on top
+    of", "in front of") or [mwe, of/to] ("next to")."""
+    if len(toks) == 3:
+        return (toks[0] in PREPOSITIONS and toks[1] in _MWE_PREP
+                and toks[2] in _MWE_PREP[toks[1]])
+    if len(toks) == 2:
+        return toks[0] in _MWE_PREP and toks[1] in _MWE_PREP[toks[0]]
+    return False
+
 PREPOSITIONS = frozenset("""
 on in at with near under over above behind beside by of for from down up
 along across through around between against inside outside onto off atop
@@ -341,6 +353,18 @@ def parse_scene_graph(caption_tokens: List[str]) -> SceneGraph:
 
     # NP (rel tokens) NP -> relation; conjunction joins subjects
     subjects: List[str] = []
+    # attachment lifting (round 5): obj_info[np_index] = (subjects, kind)
+    # records how an NP became an object — kind "of" (complement), "verb"
+    # (clause object) or "prep".  A following relation then attaches per
+    # the Stanford pipeline's conventions instead of always to the nearest
+    # NP:  participle chains attach to the CLAUSE subject ("a man wearing
+    # a jacket riding a skateboard" -> man rides), bare prepositions lift
+    # past verb objects and of-complements ("a woman holding an umbrella
+    # in the rain" -> woman in rain; "a plate of food on the table" ->
+    # plate on table), while "of" itself and verbs after of-complements
+    # stay on the nearest NP ("a slice of pizza"; "a herd of sheep
+    # grazing..." -> sheep graze).
+    obj_info: Dict[int, Tuple[List[str], str]] = {}
     k = 0
     while k < len(segs):
         kind = segs[k][0]
@@ -352,6 +376,20 @@ def parse_scene_graph(caption_tokens: List[str]) -> SceneGraph:
                     and segs[back][0] == "np":
                 subjects.append(segs[back][1].head)
                 back -= 2
+            info = obj_info.get(k)
+            if info is not None and k + 1 < len(segs) \
+                    and segs[k + 1][0] == "rel":
+                toks = [t for t in segs[k + 1][1]
+                        if not (t in COPULAS or t in AUXILIARIES
+                                or t in PARTICLES)]
+                has_verb = any(t not in PREPOSITIONS and _is_verb(t)
+                               for t in toks)
+                of_initial = bool(toks) and toks[0] == "of"
+                src, via = info
+                if not of_initial and (
+                        (has_verb and via == "verb")
+                        or (not has_verb and via in ("verb", "of"))):
+                    subjects = list(src)
             if k + 2 < len(segs) and segs[k + 1][0] == "rel" \
                     and segs[k + 2][0] == "np":
                 raw = segs[k + 1][1]
@@ -365,6 +403,20 @@ def parse_scene_graph(caption_tokens: List[str]) -> SceneGraph:
                     # "the room has a sink": possession is a relation, not
                     # an auxiliary (the Java graphs emit 'have')
                     rel_toks = ["have"]
+                if (len(rel_toks) >= 3 and rel_toks[0] not in PREPOSITIONS
+                        and _is_verb(rel_toks[0])
+                        and _is_mwe_prep(rel_toks[1:])):
+                    # SPICE convention (the paper's Fig.-1 reference graph:
+                    # "girl standing on top of a tennis court" -> (girl,
+                    # standing) + (girl, on-top-of, court)): a participle
+                    # before a MULTIWORD preposition is an attribute of the
+                    # subject and the MWE preposition alone is the
+                    # relation.  Single-word prepositions stay merged into
+                    # the verb ("filled with" -> fill-with), also per the
+                    # paper's candidate graph.
+                    for s in subjects:
+                        g.attributes.add((s, _rel_lemma(rel_toks[0])))
+                    rel_toks = rel_toks[1:]
                 if rel_toks:
                     rel = " ".join(_rel_lemma(t) for t in rel_toks)
                     objs = [segs[k + 2][1].head]
@@ -381,6 +433,12 @@ def parse_scene_graph(caption_tokens: List[str]) -> SceneGraph:
                     for s in subjects:
                         for o in objs:
                             g.relations.add((s, rel, o))
+                    via = ("of" if rel == "of" else
+                           "verb" if any(t not in PREPOSITIONS
+                                         and _is_verb(t)
+                                         for t in rel_toks) else "prep")
+                    for idx in range(k + 2, fwd + 1, 2):
+                        obj_info[idx] = (list(subjects), via)
         k += 1
     return g
 
