@@ -54,12 +54,15 @@ def fx(tmp_path_factory):
     return dict(dir=str(d), vocab=vocab, cfg=cfg_json, child=child)
 
 
-def _launch(fx, out, epochs, port, extra=()):
+def _launch(fx, out, epochs, port, extra=(), devices_per_proc=1):
     """Spawn the 2-process group; returns the two completed processes."""
     env = dict(os.environ)
     # pytest's conftest forces an 8-device CPU mesh via XLA_FLAGS; the
-    # children must see one local device each (2 global over 2 processes)
+    # children must see devices_per_proc local devices each
     env.pop("XLA_FLAGS", None)
+    if devices_per_proc > 1:
+        env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                            f"{devices_per_proc}")
     env["JAX_PLATFORMS"] = "cpu"
     import vlp_tpu
     repo = os.path.dirname(os.path.dirname(os.path.abspath(
@@ -79,6 +82,10 @@ def _launch(fx, out, epochs, port, extra=()):
         [sys.executable, fx["child"], *base, "--process_id", str(i)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
+    return _collect(procs)
+
+
+def _collect(procs):
     outs = []
     for p in procs:
         try:
@@ -113,3 +120,34 @@ def test_two_process_train_and_resume(fx):
     assert os.path.isdir(os.path.join(out, "model.3"))
     log = open(os.path.join(out, "training.log")).read()
     assert "Recover model: 2" in log
+
+
+def test_two_process_tensor_parallel_train_and_resume(fx):
+    """dp2 x tp2 over 2 processes x 2 local CPU devices (round 5): the
+    manual shard_map TP collectives (Megatron f/g, ops/tp.py, plus
+    BertAdam's clip psum over 'model') execute across an OS-process
+    boundary, the TP-sharded TrainState is placed via put_on_mesh
+    (device_put cannot target non-addressable devices — exactly where the
+    round-4 multi-process DP bugs bit), and the epoch checkpoint is
+    assembled from host-addressable shards
+    (checkpoint.jax_tree_to_numpy).  The resume leg restores and re-shards
+    the TP state."""
+    out = os.path.join(fx["dir"], "out_tp")
+    procs, logs = _launch(fx, out, epochs=1, port=_free_port(),
+                          extra=("--tensor_parallel", "2"),
+                          devices_per_proc=2)
+    for p, text in zip(procs, logs):
+        assert p.returncode == 0, text[-4000:]
+    assert os.path.isdir(os.path.join(out, "model.1"))
+    assert os.path.isdir(os.path.join(out, "optim.1"))
+    log = open(os.path.join(out, "training.log")).read()
+    assert "shard_map training: dp=2 x tp=2" in log
+
+    procs, logs = _launch(fx, out, epochs=2, port=_free_port(),
+                          extra=("--tensor_parallel", "2"),
+                          devices_per_proc=2)
+    for p, text in zip(procs, logs):
+        assert p.returncode == 0, text[-4000:]
+    assert os.path.isdir(os.path.join(out, "model.2"))
+    log = open(os.path.join(out, "training.log")).read()
+    assert "Recover model: 1" in log

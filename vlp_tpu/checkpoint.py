@@ -296,7 +296,28 @@ def params_to_torch(params: Dict[str, Any], cfg: VLPConfig
 
 def jax_tree_to_numpy(tree):
     import jax
-    return jax.tree_util.tree_map(np.asarray, tree)
+
+    def to_np(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable \
+                and not x.is_fully_replicated:
+            # multi-process tensor parallelism: the value is sharded over a
+            # within-host 'model' axis and replicated over the cross-host
+            # 'data' axis, so THIS host's addressable shards cover the full
+            # array even though np.asarray refuses (shards also live on
+            # other hosts).  Assemble from the addressable shards; fail
+            # loudly if they genuinely don't cover the value.
+            out = np.empty(x.shape, x.dtype)
+            seen = np.zeros(x.shape, bool)
+            for sh in x.addressable_shards:
+                out[sh.index] = np.asarray(sh.data)
+                seen[sh.index] = True
+            assert seen.all(), (
+                "checkpoint save needs every shard addressable on this "
+                "host (shard params over a within-host mesh axis)")
+            return out
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(to_np, tree)
 
 
 # ---------------------------------------------------------------------------

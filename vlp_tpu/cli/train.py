@@ -490,17 +490,33 @@ def main(argv=None):
     tp = max(args.tensor_parallel, 1)
     tp_shard_map = tp > 1 and args.tp_impl == "shard_map"
     if n_proc > 1:
-        # multi-process: every host must take the shard_map DP mesh path —
-        # any fallback would train hosts independently on different data and
-        # silently desynchronise params (the reference's equivalent is DDP
-        # or nothing, run_img2txt_dist.py:379-387)
-        if (tp > 1 or args.scst or args.true_fp16
-                or args.train_batch_size % (n_dev * accum) != 0):
+        # multi-process: every host must take a shard_map mesh path (DP, or
+        # dp x tp with the manual shard_map TP) — any fallback would train
+        # hosts independently on different data and silently desynchronise
+        # params (the reference's equivalent is DDP or nothing,
+        # run_img2txt_dist.py:379-387)
+        if (args.scst or args.true_fp16
+                or (tp > 1 and not tp_shard_map)
+                or args.train_batch_size % (n_dev // tp * accum) != 0):
             raise ValueError(
-                "multi-process training supports the data-parallel "
-                "shard_map path only: no --tensor_parallel/--scst/"
-                "--true_fp16, and --train_batch_size (global) must divide "
-                f"devices*grad_accum = {n_dev}*{accum}")
+                "multi-process training supports the shard_map paths only "
+                "(data-parallel, or --tensor_parallel with the default "
+                "--tp_impl shard_map): no --scst/--true_fp16/gspmd-TP, and "
+                "--train_batch_size (global) must divide "
+                f"(devices/tp)*grad_accum = {n_dev // tp}*{accum}")
+        local_dev = n_dev // n_proc
+        if tp > 1 and local_dev % tp != 0:
+            # the 'model' axis must be WITHIN a host: mesh rows of length
+            # tp may not straddle process boundaries (TP collectives per
+            # micro-step want ICI/shared-memory, and checkpoint save
+            # assembles params from host-addressable shards)
+            raise ValueError(
+                f"--tensor_parallel {tp} must divide the per-host device "
+                f"count {local_dev} (model axis within a host)")
+        if tp > 1 and (n_dev // tp) % n_proc != 0:
+            raise ValueError(
+                f"data shards (devices/tp = {n_dev // tp}) must divide "
+                f"evenly over {n_proc} processes")
     if tp > 1:
         from vlp_tpu.parallel import pjit_step
         from vlp_tpu.parallel.mesh import make_mesh

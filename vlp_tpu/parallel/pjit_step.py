@@ -121,10 +121,14 @@ def shard_state_shard_map_tp(state: ts.TrainState, mesh: Mesh
                              ) -> ts.TrainState:
     """Place a full (replicated-shape) TrainState onto the mesh with the
     manual-TP layout (mesh.tp_param_specs), so the first shard_map TP step
-    doesn't pay a resharding transfer."""
+    doesn't pay a resharding transfer.  Multi-process: goes through
+    ``put_on_mesh`` (device_put cannot target non-addressable devices);
+    every host holds the full host-side value, and the 'model' axis must be
+    within-host (cli/train.py validates), so the process-local block IS the
+    full array."""
     specs = _shard_map_state_specs(state, mesh, tensor_parallel=True)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
+        lambda x, s: put_on_mesh(x, mesh, s), state, specs)
 
 
 def _check_tp_args(model: VLPModel, mesh: Mesh, tensor_parallel: bool):
