@@ -193,6 +193,24 @@ class TestBeamParity:
         for a, b in zip(outs["onehot"], outs["gather"]):
             np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
 
+    def test_stacked_carry_identical(self, rng):
+        """carry_impl='stacked' (one [L,...] scan-carry buffer per k/v)
+        is a memory-layout change only — traces must match the per-layer
+        tuples carry bit-for-bit."""
+        cfg, model, params = setup_model()
+        batch = decode_batch(cfg, 3, rng)
+        outs = {}
+        for impl in ("tuples", "stacked"):
+            dp = DecodeParams(mask_id=MASK, eos_id=EOS, beam_size=3,
+                              max_tgt_length=6, min_len=2,
+                              forbid_duplicate_ngrams=True, ngram_size=2,
+                              carry_impl=impl)
+            dec = Decoder(model, cfg, dp)
+            outs[impl] = jax.tree_util.tree_map(
+                np.asarray, dec._beam(params, batch))
+        for a, b in zip(outs["tuples"], outs["stacked"]):
+            np.testing.assert_array_equal(a, b)
+
 
 class TestExactTopkBlocks:
     def test_matches_lax_topk(self, rng):

@@ -33,7 +33,9 @@ def main():
                          "cache reorder), -approx (approx_max_k first "
                          "stage), -blocktopkN (block-max-prefilter exact "
                          "top-k, width N), -fulltopk (lax.top_k custom "
-                         "call).  No suffix = shipped defaults.")
+                         "call), -stackcarry (one stacked [L,...] carry "
+                         "per k/v instead of 24 per-layer arrays).  No "
+                         "suffix = shipped defaults.")
     args = ap.parse_args()
 
     import dataclasses
@@ -57,6 +59,8 @@ def main():
                       else dec0.dp.topk_block)
         elif name.endswith("fulltopk"):
             kw = dict(topk_impl="full")
+        if "stackcarry" in name:
+            kw["carry_impl"] = "stacked"
         dp = dataclasses.replace(
             dec0.dp, reorder_impl=reorder,
             approx_topk=name.endswith("approx"), **kw)

@@ -35,12 +35,19 @@ ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "SCST_BENCH.json")
 
 
-def build_trainer(cfg, batch, T, lr=1e-6, remat=False, replay="scan"):
+def build_trainer(cfg, batch, T, lr=1e-6, remat=False, replay="scan",
+                  state=None):
     from vlp_tpu.parallel import train_step as ts
     from vlp_tpu.scst import SCSTTrainer
     model = ts.create_model(cfg)
-    state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
-                                      lr=lr, warmup=0.1, t_total=100000)
+    if state is None:
+        state, tx = ts.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                          lr=lr, warmup=0.1, t_total=100000)
+    else:
+        # A/B variant sharing the first variant's state (identical tree):
+        # a second resident params+moments set OOMed HBM at B=256
+        tx = ts.make_optimizer(cfg, state.params, lr=lr, warmup=0.1,
+                               t_total=100000)
     trainer = SCSTTrainer(model, cfg, mask_id=103, eos_id=102, pad_id=0,
                           max_tgt_length=T, tx=tx, remat=remat,
                           replay=replay)
@@ -132,21 +139,27 @@ def main():
                 ("head_major", cfg.replace(use_pallas_decode=False),
                  args.replay))
 
+    # A/B variants SHARE one TrainState (identical tree shapes): holding a
+    # per-variant state OOMed HBM at B=256 (params+moments ~1.3G each on
+    # top of two compiled program sets); throughput timing doesn't care
+    # whose update advanced the weights
     built = []
+    shared_state = None
     for name, vcfg, replay in variants:
-        trainer, state = build_trainer(vcfg, batch, T, remat=args.remat,
-                                       replay=replay)
-        built.append((name, trainer, state))
+        trainer, shared_state = build_trainer(
+            vcfg, batch, T, remat=args.remat, replay=replay,
+            state=shared_state)
+        built.append((name, trainer))
 
     # interleave variants window by window (A/B discipline)
-    results = {name: [] for name, *_ in built}
-    states = {name: st for name, _, st in built}
+    results = {name: [] for name, _ in built}
+    state = shared_state
     for w in range(args.windows):
-        for name, trainer, _ in built:
-            rates, states[name] = bench_windows(
-                trainer, states[name], batch, gt_ids, B,
+        for name, trainer in built:
+            rates, state = bench_windows(
+                trainer, state, batch, gt_ids, B,
                 args.outer, 1) if w == 0 else bench_windows_nowarm(
-                trainer, states[name], batch, gt_ids, B, args.outer)
+                trainer, state, batch, gt_ids, B, args.outer)
             results[name].extend(rates)
 
     entry = {"label": args.label or "scst", "backend": jax.default_backend(),

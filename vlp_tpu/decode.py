@@ -94,6 +94,16 @@ class DecodeParams:
     #              cache-sized matmul sits on the critical path).
     # All three are trace-identical (tests/test_decode.py).
     reorder_impl: str = "fused"
+    # Beam-scan gen-cache carry layout (round-5 A/B of the 18%-copies
+    # scan-staging bucket, DESIGN.md round-4 trace):
+    #   "tuples"  — 24 separate [B*K, G, HD] arrays (default).
+    #   "stacked" — ONE [L, B*K, G, HD] array per k/v, unstacked into
+    #               per-layer views inside the body and restacked from the
+    #               kernel outputs each step.  Distinct from the rejected
+    #               round-1 stacked design: the fused reorder never
+    #               physically gathers the caches, so the only added work
+    #               is the restack itself.  Trace-identical to "tuples".
+    carry_impl: str = "tuples"
 
 
 def _expand_beams(x: jnp.ndarray, K: int) -> jnp.ndarray:
@@ -481,8 +491,17 @@ class Decoder:
         own = (jnp.arange(B * K, dtype=jnp.int32) % K)[:, None]  # [B*K, 1]
         anc0 = jnp.broadcast_to(own, (B * K, G))
 
+        stacked = dp.carry_impl == "stacked"
+        n_layers = cfg.num_hidden_layers
+        if stacked:
+            gk = jnp.stack(gk)
+            gv = jnp.stack(gv)
+
         def body(carry, t):
             gk, gv, seqs, anc, prev_ids, last_scores, last_eos = carry
+            if stacked:
+                gk = tuple(gk[i] for i in range(n_layers))
+                gv = tuple(gv[i] for i in range(n_layers))
             if fused:
                 # slots t-1 (committed prev token) and t (probe) are written
                 # to each beam's OWN row this step
@@ -527,6 +546,9 @@ class Decoder:
             seqs = seqs.at[t].set(k_ids.reshape(-1))
 
             eos = (k_ids == dp.eos_id).astype(jnp.float32)
+            if stacked:
+                gk = jnp.stack(gk)
+                gv = jnp.stack(gv)
             carry = (gk, gv, seqs, anc, k_ids.reshape(-1), k_scores, eos)
             return carry, (k_ids, back_ptrs, k_scores, eos)
 
