@@ -228,10 +228,12 @@ def main():
     }
 
     def put(prefix, st):
+        # "beam5_b100_captions_per_sec" -> aux keys on "beam5_b100_*",
+        # matching the historical record schema
         rec[f"{prefix}"] = st["best"]
         for k in ("median", "windows", "steady_median", "steady_windows",
                   "stable"):
-            rec[f"{prefix.rsplit('_', 2)[0]}_{k}"] = st[k]
+            rec[f"{prefix.rsplit('_', 3)[0]}_{k}"] = st[k]
 
     put("beam5_b100_captions_per_sec", dec)
     put("vqa_b256_questions_per_sec", vqa)
