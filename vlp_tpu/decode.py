@@ -103,6 +103,10 @@ class DecodeParams:
     #               round-1 stacked design: the fused reorder never
     #               physically gathers the caches, so the only added work
     #               is the restack itself.  Trace-identical to "tuples".
+    #               Measured SLOWER (interleaved A/B on v5e, B=400 beam-5:
+    #               569.8 vs 688.5 captions/sec): the per-step restack +
+    #               slice reads cost more than the scan staging they
+    #               replace — tuples stay the default.
     carry_impl: str = "tuples"
 
 
