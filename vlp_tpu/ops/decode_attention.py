@@ -254,6 +254,9 @@ def decode_dropout_scales(seeds, *, n_heads: int, S: int, P: int, G: int,
     the multipliers the rollout kernel applied (same pltpu.prng seed and
     draw sequence; cross-checked on real TPU).  TPU-only (pltpu.prng has no
     CPU lowering)."""
+    assert kernel_dropout_available(), \
+        "decode_dropout_scales regenerates on-chip PRNG bits; off-TPU the " \
+        "rollout uses the jax.random path and needs no regeneration"
     H = n_heads
     N = seeds.shape[0]
     PPAD, GPAD = _pad128(P), _pad128(G)
