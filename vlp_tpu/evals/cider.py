@@ -35,9 +35,23 @@ class CiderScorer:
 
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
         keys = list(res.keys())
-        crefs = [[_ngram_counts(r.split(), self.n) for r in gts[k]]
-                 for k in keys]
-        ctest = [_ngram_counts(res[k][0].split(), self.n) for k in keys]
+
+        # memoize per unique text: the SCST reward duplicates every gt
+        # across the sample/greedy halves (scst.get_self_critical_reward,
+        # reference scst_utils semantics), so half the reference-side
+        # n-gram/tf-idf work repeats verbatim.  Pure caching — scores are
+        # bit-identical (oracle cross-validation unchanged).
+        cnt_cache: Dict[str, Counter] = {}
+
+        def counts_of(text: str) -> Counter:
+            c = cnt_cache.get(text)
+            if c is None:
+                c = _ngram_counts(text.split(), self.n)
+                cnt_cache[text] = c
+            return c
+
+        crefs = [[counts_of(r) for r in gts[k]] for k in keys]
+        ctest = [counts_of(res[k][0]) for k in keys]
 
         # document frequency over reference sets
         doc_freq: Counter = Counter()
@@ -71,12 +85,22 @@ class CiderScorer:
                 val[ni] *= math.exp(-(delta ** 2) / (2 * self.sigma ** 2))
             return val
 
+        # counts2vec memo keyed by the (cached, long-lived) Counter object
+        vec_cache: Dict[int, tuple] = {}
+
+        def counts2vec_cached(cnts: Counter):
+            r = vec_cache.get(id(cnts))
+            if r is None:
+                r = counts2vec(cnts)
+                vec_cache[id(cnts)] = r
+            return r
+
         scores = []
         for refs, test in zip(crefs, ctest):
-            vh, nh, lh = counts2vec(test)
+            vh, nh, lh = counts2vec_cached(test)
             score = [0.0] * self.n
             for ref in refs:
-                vr, nr, lr = counts2vec(ref)
+                vr, nr, lr = counts2vec_cached(ref)
                 s = sim(vh, nh, lh, vr, nr, lr)
                 for ni in range(self.n):
                     score[ni] += s[ni]
