@@ -115,6 +115,26 @@ GOLDEN = [
 
     ("the little girl is happy",
      {"girl"}, {("girl", "little"), ("girl", "happy")}, set()),
+
+    # round-5 constructions: PTB-split possessive clitic (-> the 'have'
+    # relation, with verbs/copulas attaching to the POSSESSED head), a
+    # passive copula+participle, and an existential-there clause
+    ("the man 's hat is blue",
+     {"man", "hat"}, {("hat", "blue")}, {("man", "have", "hat")}),
+
+    ("a dog chasing the boy 's ball",
+     {"dog", "boy", "ball"}, set(),
+     {("boy", "have", "ball"), ("dog", "chase", "ball")}),
+
+    ("a cake is covered with frosting",
+     {"cake", "frosting"}, set(), {("cake", "cover with", "frosting")}),
+
+    ("there is a cat under the table",
+     {"cat", "table"}, set(), {("cat", "under", "table")}),
+
+    ("a bathroom with a sink and a mirror",
+     {"bathroom", "sink", "mirror"}, set(),
+     {("bathroom", "with", "sink"), ("bathroom", "with", "mirror")}),
 ]
 
 

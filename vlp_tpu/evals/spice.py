@@ -76,6 +76,10 @@ AUXILIARIES = frozenset("has have had do does did will would can could".split())
 CONJUNCTIONS = frozenset("and or but while as".split())
 PRONOUNS = frozenset("it he she they there who which that".split())
 PARTICLES = frozenset("to not n't".split())
+# PTB-split possessive clitic: a connector, mapped to the 'have' relation
+# ("the man 's hat" -> (man, have, hat) — the same convention as the
+# auxiliary-have possession rule below)
+POSSESSIVES = frozenset(("'s",))
 
 ADJECTIVES = frozenset("""
 white black red blue green yellow brown gray grey orange pink purple golden
@@ -107,7 +111,7 @@ carries drive drives hang hangs lay lays lie lies graze grazes swim swims
 rest rests lean leans perch perches float floats park parks stop stops
 wait waits pose poses smile smiles talk talks drink drinks feed feeds
 pull pulls push pushes throw throws catch catches hit hits kick kicks
-serve serves cut cuts cook cooks bake bakes read reads write writes use
+serve serves cut cuts cook cooks bake bakes read reads write writes chase chases use
 uses work works travel travels cross crosses climb climbs land lands take
 takes make makes give gives show shows contain contains include includes
 surround surrounds fill fills cover covers top tops
@@ -236,7 +240,8 @@ def _chunk(tokens: List[str]):
                 or not (
                 tok in PREPOSITIONS or tok in COPULAS or tok in AUXILIARIES
                 or tok in CONJUNCTIONS or tok in PRONOUNS
-                or tok in PARTICLES or _is_verb(tok)):
+                or tok in PARTICLES or tok in POSSESSIVES
+                or _is_verb(tok)):
             # start of a noun phrase: [det] (adj|noun-mod)* head-noun
             j = i
             words: List[str] = []
@@ -249,7 +254,7 @@ def _chunk(tokens: List[str]):
                     continue
                 if (t in PREPOSITIONS or t in COPULAS or t in AUXILIARIES
                         or t in CONJUNCTIONS or t in PRONOUNS
-                        or t in PARTICLES):
+                        or t in PARTICLES or t in POSSESSIVES):
                     break
                 if _is_verb(t) and not (seen_det and not words):
                     # "the park"/"a drink": a determiner forces the next
@@ -384,7 +389,11 @@ def parse_scene_graph(caption_tokens: List[str]) -> SceneGraph:
                                 or t in PARTICLES)]
                 has_verb = any(t not in PREPOSITIONS and _is_verb(t)
                                for t in toks)
-                of_initial = bool(toks) and toks[0] == "of"
+                # "of" complements and possessives attach to the nearest
+                # NP, never the clause subject ("the boy 's ball" ->
+                # (boy, have, ball) even mid-clause)
+                of_initial = bool(toks) and (toks[0] == "of"
+                                             or toks[0] in POSSESSIVES)
                 src, via = info
                 if not of_initial and (
                         (has_verb and via == "verb")
@@ -417,13 +426,27 @@ def parse_scene_graph(caption_tokens: List[str]) -> SceneGraph:
                     for s in subjects:
                         g.attributes.add((s, _rel_lemma(rel_toks[0])))
                     rel_toks = rel_toks[1:]
+                was_poss = rel_toks == ["'s"]
+                if was_poss:
+                    # possessive clitic -> the possession relation
+                    rel_toks = ["have"]
                 if rel_toks:
                     rel = " ".join(_rel_lemma(t) for t in rel_toks)
-                    objs = [segs[k + 2][1].head]
+                    # a non-possessive relation whose object NP is a
+                    # possessor attaches to the POSSESSED head ("a dog
+                    # chasing the boy 's ball" -> (dog, chase, ball);
+                    # (boy, have, ball) is emitted when k reaches 'boy')
+                    base = k + 2
+                    while not was_poss and base + 2 < len(segs) \
+                            and segs[base + 1][0] == "rel" \
+                            and segs[base + 1][1] == ["'s"] \
+                            and segs[base + 2][0] == "np":
+                        base += 2
+                    objs = [segs[base][1].head]
                     # "<s> rel c and d" — extend through conjunctions,
                     # unless the conj NP starts its own clause (is itself
                     # followed by a rel segment)
-                    fwd = k + 2
+                    fwd = base
                     while fwd + 2 < len(segs) and segs[fwd + 1][0] == "conj" \
                             and segs[fwd + 2][0] == "np" \
                             and not (fwd + 3 < len(segs)
@@ -437,7 +460,7 @@ def parse_scene_graph(caption_tokens: List[str]) -> SceneGraph:
                            "verb" if any(t not in PREPOSITIONS
                                          and _is_verb(t)
                                          for t in rel_toks) else "prep")
-                    for idx in range(k + 2, fwd + 1, 2):
+                    for idx in range(base, fwd + 1, 2):
                         obj_info[idx] = (list(subjects), via)
         k += 1
     return g
