@@ -135,6 +135,20 @@ GOLDEN = [
     ("a bathroom with a sink and a mirror",
      {"bathroom", "sink", "mirror"}, set(),
      {("bathroom", "with", "sink"), ("bathroom", "with", "mirror")}),
+
+    # coordinated prenominal adjectives fold into the noun NP; quantity
+    # pseudo-partitives ("lots of") are transparent
+    ("a black and white photo of a train",
+     {"photo", "train"}, {("photo", "black"), ("photo", "white")},
+     {("photo", "of", "train")}),
+
+    ("a kitchen filled with lots of wooden cabinets",
+     {"kitchen", "cabinet"}, {("cabinet", "wooden")},
+     {("kitchen", "fill with", "cabinet")}),
+
+    ("a person riding a motorcycle down a road",
+     {"person", "motorcycle", "road"}, set(),
+     {("person", "ride", "motorcycle"), ("person", "down", "road")}),
 ]
 
 

@@ -292,6 +292,14 @@ def _chunk(tokens: List[str]):
                 segs.append(("np", _NP(head, attrs)))
                 i = j
                 continue
+            if seen_det and j < n and tokens[j] == "of":
+                # determiner-only pseudo-partitive ("lots of", "a couple
+                # of", "a bunch of"): transparent quantity — skip the
+                # "of" so it doesn't contaminate the relation chain
+                # ("kitchen filled with lots of cabinets" must read
+                # 'fill with', not 'fill with of')
+                i = j + 1
+                continue
             i = j + 1 if j == i else j
             continue
         if tok in CONJUNCTIONS:
@@ -309,6 +317,23 @@ def parse_scene_graph(caption_tokens: List[str]) -> SceneGraph:
     """Rule-based scene-graph extraction from PTB-style lowercase tokens."""
     g = SceneGraph(set(), set(), set())
     segs = _chunk(caption_tokens)
+
+    # coordinated prenominal adjectives ("a black and white photo"): an
+    # all-adjective NP conjoined with a noun-headed NP contributes its
+    # adjectives to that NP instead of standing as a phantom object
+    drop = set()
+    for k in range(len(segs) - 2):
+        if segs[k][0] == "np" and segs[k + 1][0] == "conj" \
+                and segs[k + 2][0] == "np":
+            a, b = segs[k][1], segs[k + 2][1]
+            if _is_adjective(a.head) \
+                    and all(_is_adjective(x) for x in a.attrs) \
+                    and not _is_adjective(b.head):
+                b.attrs.extend([a.head] + a.attrs)
+                drop.add(k)
+                drop.add(k + 1)
+    if drop:
+        segs = [sg for idx, sg in enumerate(segs) if idx not in drop]
 
     # copula + adjective phrase -> attribute of the subject ("the door is
     # open"): the adjective chunks after a pure-copula segment are
